@@ -1,0 +1,200 @@
+"""Functional core of the implicitly restarted Lanczos method (IRLM).
+
+One ``jax.jit``-compiled program runs the whole restarted iteration for
+symmetric / Hermitian problems: factorize to ncv steps, extract Ritz
+pairs from the (replicated, real tridiagonal) projection H, count
+converged pairs with the ARPACK test, adjust nev, apply implicit
+shifted-QR restarts, and loop under ``lax.while_loop`` until
+convergence or maxit — no host round-trips inside the iteration.
+
+Numerical rules mirror the reference exactly:
+  * convergence: ``|ritz_est| * ||f|| < tol * max(eps^{2/3}, |theta|)``
+    (reference: include/Spectra/HermEigsBase.h:158-175);
+  * nev adjustment replicates dsaup2.f lines 677-684
+    (HermEigsBase.h:178-202);
+  * restart applies the unwanted Ritz values as implicit shifts,
+    largest magnitude first, via shifted tridiagonal QR
+    (HermEigsBase.h:105-155).
+
+One documented deviation: when maxit is exhausted, the reference skips
+the convergence test of the final restart (its loop checks at the top);
+we do test it, which can only turn a NotConverging into a Successful.
+"""
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from spectra_tpu.linalg import krylov
+from spectra_tpu.linalg.tridiag import (
+    tridiag_qr,
+    tridiag_qtq,
+    tridiag_to_dense,
+    tridiag_eigen,
+    apply_yq,
+)
+from spectra_tpu.util import dtypes
+from spectra_tpu.util.selection import SortRule, argsort
+
+
+class IRLMResult(NamedTuple):
+    values: jax.Array  # (nev,) transformed & sorted Ritz values (real)
+    vectors_small: jax.Array  # (ncv, nev) Ritz vectors in the V basis (real)
+    conv: jax.Array  # (nev,) bool convergence flags, sorted order
+    nconv: jax.Array  # int32
+    niter: jax.Array  # int32
+    nops: jax.Array  # int64
+    V: jax.Array  # (n, ncv) final Krylov basis
+    f: jax.Array  # (n,) final residual
+
+
+def _retrieve_ritzpair(H, selection: SortRule, nev: int):
+    """Ritz values/vectors of the projected problem, wanted-first order.
+
+    H is numerically a real symmetric tridiagonal (possibly stored
+    complex for Hermitian solvers); the eigen-decomposition runs on its
+    real tridiagonal part (reference: HermEigsBase.h:205-224).
+    """
+    d = jnp.real(jnp.diagonal(H))
+    e = jnp.real(jnp.diagonal(H, offset=-1))
+    evals, evecs = tridiag_eigen(d, e)
+    ind = argsort(selection, evals)
+    ritz_val = evals[ind]
+    ritz_est = evecs[-1, :][ind]
+    ritz_vec = evecs[:, ind[:nev]]
+    return ritz_val, ritz_est, ritz_vec
+
+
+def _num_converged(ritz_val, ritz_est, beta, tol, nev: int):
+    rdtype = ritz_val.dtype
+    eps23 = jnp.asarray(dtypes.eps23(rdtype), rdtype)
+    thresh = tol * jnp.maximum(eps23, jnp.abs(ritz_val[:nev]))
+    resid = jnp.abs(ritz_est[:nev]) * beta
+    conv = resid < thresh
+    return conv, jnp.sum(conv).astype(jnp.int32)
+
+
+def _nev_adjusted(nconv, ritz_est, nev: int, ncv: int):
+    rdtype = ritz_est.dtype
+    near_0 = jnp.asarray(dtypes.near_zero(rdtype), rdtype)
+    nev_new = nev + jnp.sum(jnp.abs(ritz_est[nev:ncv]) < near_0).astype(jnp.int32)
+    # dsaup2.f 677-684
+    nev_new = nev_new + jnp.minimum(nconv, (ncv - nev_new) // 2)
+    if ncv >= 6:
+        nev_new = jnp.where(nev_new == 1, ncv // 2, nev_new)
+    elif ncv > 2:
+        nev_new = jnp.where(nev_new == 1, 2, nev_new)
+    return jnp.minimum(nev_new, ncv - 1)
+
+
+def _restart(arnop, state, ritz_val, k_new, nev: int, ncv: int, mode: str):
+    """Implicitly restart: apply the ncv - k unwanted Ritz values as
+    shifts (largest |shift| first), compress to k steps, re-expand."""
+    rdtype = ritz_val.dtype
+
+    # Unwanted = positions >= k_new in the selection order; sort them by
+    # magnitude descending. Masked positions sort last and are skipped
+    # by the per-slot predicate.
+    pos = jnp.arange(ncv)
+    key = jnp.where(pos >= k_new, jnp.abs(ritz_val), -jnp.inf)
+    order = jnp.argsort(-key, stable=True)
+    shifts = ritz_val[order]
+    nshift = ncv - k_new
+
+    Q0 = jnp.eye(ncv, dtype=rdtype)
+
+    def shift_body(j, carry):
+        def apply(HQ):
+            H, Q = HQ
+            mu = shifts[j]
+            d = jnp.real(jnp.diagonal(H))
+            e = jnp.real(jnp.diagonal(H, offset=-1))
+            c, s, e_defl = tridiag_qr(d, e, mu)
+            Q = apply_yq(Q, c, s)
+            d2, e2 = tridiag_qtq(d, e_defl, c, s)
+            return tridiag_to_dense(d2, e2).astype(H.dtype), Q
+
+        return jax.lax.cond(j < nshift, apply, lambda HQ: HQ, carry)
+
+    H_new, Q = jax.lax.fori_loop(0, ncv - nev, shift_body, (state.H, Q0))
+    state = krylov.compress(arnop, state, Q, H_new, k_new)
+    state = krylov.factorize_from(arnop, state, k_new, mode)
+    return state
+
+
+class _LoopCarry(NamedTuple):
+    state: krylov.KrylovState
+    ritz_val: jax.Array
+    ritz_est: jax.Array
+    ritz_vec: jax.Array
+    conv: jax.Array
+    nconv: jax.Array
+    restarts: jax.Array
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nev", "ncv", "selection", "sorting", "mode", "transform"),
+)
+def irlm_compute(
+    arnop,
+    v0,
+    key,
+    maxit,
+    tol,
+    transform_aux=None,
+    *,
+    nev: int,
+    ncv: int,
+    selection: SortRule,
+    sorting: SortRule,
+    mode: str = "lanczos",
+    transform=None,
+) -> IRLMResult:
+    """Run the full IRLM and return sorted Ritz output.
+
+    ``transform`` (static) maps the operator's Ritz values nu back to
+    the original eigenvalues lambda before the final sort; shift-invert
+    solvers pass e.g. ``lambda nu, sigma: 1/nu + sigma`` with the shift
+    in ``transform_aux`` (reference: SymEigsShiftSolver.h:163-169).
+    """
+    state = krylov.init(arnop, v0, ncv, key)
+    state = krylov.factorize_from(arnop, state, 1, mode)
+    ritz_val, ritz_est, ritz_vec = _retrieve_ritzpair(state.H, selection, nev)
+    conv, nconv = _num_converged(ritz_val, ritz_est, state.beta, tol, nev)
+
+    def cond(c: _LoopCarry):
+        return (c.nconv < nev) & (c.restarts < maxit)
+
+    def body(c: _LoopCarry):
+        k_new = _nev_adjusted(c.nconv, c.ritz_est, nev, ncv)
+        state = _restart(arnop, c.state, c.ritz_val, k_new, nev, ncv, mode)
+        ritz_val, ritz_est, ritz_vec = _retrieve_ritzpair(state.H, selection, nev)
+        conv, nconv = _num_converged(ritz_val, ritz_est, state.beta, tol, nev)
+        return _LoopCarry(state, ritz_val, ritz_est, ritz_vec, conv, nconv, c.restarts + 1)
+
+    carry = jax.lax.while_loop(
+        cond,
+        body,
+        _LoopCarry(
+            state, ritz_val, ritz_est, ritz_vec, conv, nconv, jnp.asarray(0, jnp.int32)
+        ),
+    )
+
+    # Final sort of the first nev pairs (after back-transform).
+    vals = carry.ritz_val[:nev]
+    if transform is not None:
+        vals = transform(vals, transform_aux)
+    ind = argsort(sorting, vals)
+    return IRLMResult(
+        values=vals[ind],
+        vectors_small=carry.ritz_vec[:, ind],
+        conv=carry.conv[ind],
+        nconv=carry.nconv,
+        niter=carry.restarts + 1,
+        nops=carry.state.nops,
+        V=carry.state.V,
+        f=carry.state.f,
+    )

@@ -1,0 +1,134 @@
+"""Driver base class for symmetric / Hermitian IRLM solvers.
+
+The thin stateful shell around the functional jitted core — it owns
+validation, the deterministic starting vector, result extraction and
+the Spectra-compatible accessor API
+(reference: include/Spectra/HermEigsBase.h:44-479).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spectra_tpu.matop.arnoldi_op import ArnoldiOp
+from spectra_tpu.solvers._herm_core import irlm_compute
+from spectra_tpu.util.compinfo import CompInfo
+from spectra_tpu.util.rng import SimpleRandom
+from spectra_tpu.util.selection import SortRule
+
+
+class HermEigsBase:
+    """Base for all symmetric/Hermitian IRLM solver drivers.
+
+    Subclasses may set ``_ritz_transform`` (a static function
+    ``(nu, aux) -> lambda``) and ``_transform_aux`` for eigenvalue
+    back-transforms, mirroring the reference's ``sort_ritzpair``
+    override seam.
+    """
+
+    _mode = "lanczos"
+    _ritz_transform = None
+
+    def __init__(self, op, nev: int, ncv: int, bop=None):
+        self._op = op
+        self._arnop = ArnoldiOp.create(op, bop)
+        n = op.rows()
+        if op.cols() != n:
+            raise ValueError("matrix must be square")
+        # reference: HermEigsBase.h:267-271
+        if nev < 1 or nev > n - 1:
+            raise ValueError("nev must satisfy 1 <= nev <= n - 1, n is the size of matrix")
+        if ncv <= nev or ncv > n:
+            raise ValueError("ncv must satisfy nev < ncv <= n, n is the size of matrix")
+        self._n = n
+        self._nev = int(nev)
+        self._ncv = int(ncv)
+        self._dtype = jnp.dtype(op.dtype)
+        self._info = CompInfo.NotComputed
+        self._niter = 0
+        self._nops = 0
+        self._v0 = None
+        self._result = None
+
+    # -- initialization ------------------------------------------------
+    def init(self, init_resid=None):
+        """Set the initial residual vector (default: the deterministic
+        Uniform(-0.5, 0.5) stream with seed 0, bit-identical to the
+        reference's SimpleRandom)."""
+        if init_resid is None:
+            init_resid = SimpleRandom(0).random_vec(self._n, self._dtype)
+        v0 = np.asarray(init_resid, dtype=self._dtype)
+        if v0.shape != (self._n,):
+            raise ValueError(f"initial residual must have shape ({self._n},)")
+        if np.linalg.norm(v0) < np.finfo(np.float64).tiny * 10:
+            raise ValueError("initial residual vector cannot be zero")
+        self._v0 = jnp.asarray(v0)
+        self._info = CompInfo.NotComputed
+        self._niter = 0
+        self._nops = 0
+        self._result = None
+
+    # -- computation -----------------------------------------------------
+    def compute(
+        self,
+        selection: SortRule = SortRule.LargestMagn,
+        maxit: int = 1000,
+        tol: float = 1e-10,
+        sorting: SortRule = SortRule.LargestAlge,
+    ) -> int:
+        """Run the solver; returns the number of converged eigenvalues."""
+        if self._v0 is None:
+            self.init()
+        res = irlm_compute(
+            self._arnop,
+            self._v0,
+            jax.random.PRNGKey(0),
+            jnp.asarray(maxit, jnp.int32),
+            jnp.asarray(tol, jnp.finfo(self._dtype).dtype),
+            self._transform_aux(),
+            nev=self._nev,
+            ncv=self._ncv,
+            selection=selection,
+            sorting=sorting,
+            mode=self._mode,
+            transform=type(self)._ritz_transform,
+        )
+        res = jax.tree_util.tree_map(lambda x: np.asarray(x), res)
+        self._result = res
+        nconv = int(res.nconv)
+        self._niter = int(res.niter)
+        self._nops = int(res.nops)
+        self._info = (
+            CompInfo.Successful if nconv >= self._nev else CompInfo.NotConverging
+        )
+        return min(self._nev, nconv)
+
+    def _transform_aux(self):
+        return None
+
+    # -- accessors -------------------------------------------------------
+    def info(self) -> CompInfo:
+        return self._info
+
+    def num_iterations(self) -> int:
+        return self._niter
+
+    def num_operations(self) -> int:
+        return self._nops
+
+    def eigenvalues(self) -> np.ndarray:
+        """Converged eigenvalues (real), in the requested sorting order."""
+        if self._result is None:
+            return np.zeros((0,), np.dtype(self._dtype).name.replace("complex", "float"))
+        res = self._result
+        return res.values[res.conv]
+
+    def eigenvectors(self, nvec: int | None = None) -> np.ndarray:
+        """Eigenvectors of the converged eigenvalues (columns)."""
+        if self._result is None:
+            return np.zeros((self._n, 0), self._dtype)
+        res = self._result
+        small = res.vectors_small[:, res.conv]
+        if nvec is not None:
+            small = small[:, : min(nvec, small.shape[1])]
+        return res.V @ small.astype(res.V.dtype)

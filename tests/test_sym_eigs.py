@@ -1,0 +1,157 @@
+"""SymEigsSolver integration tests.
+
+Mirrors the reference's test/SymEigs.cpp: seeded random dense symmetric
+matrices at sizes 10/100/1000 with (k, m) = (3,6)/(10,20)/(20,50),
+iterating over every applicable selection rule, asserting success and
+the residual bar ||A U - U L||_inf <= 1e-9.
+"""
+
+import numpy as np
+import pytest
+
+import spectra_tpu as st
+from spectra_tpu.util.compinfo import CompInfo
+from spectra_tpu.util.selection import SortRule
+
+RULES = [
+    SortRule.LargestMagn,
+    SortRule.LargestAlge,
+    SortRule.SmallestMagn,
+    SortRule.SmallestAlge,
+    SortRule.BothEnds,
+]
+
+
+def _sym_matrix(n, seed=123):
+    rng = np.random.default_rng(seed)
+    A = rng.uniform(size=(n, n)) - 0.5
+    return A + A.T
+
+
+def _run(A, k, m, selection, maxit=1000, tol=1e-10):
+    op = st.DenseSymMatProd.create(A)
+    eigs = st.SymEigsSolver(op, nev=k, ncv=m)
+    eigs.init()
+    nconv = eigs.compute(selection, maxit=maxit, tol=tol)
+    assert eigs.info() == CompInfo.Successful
+    assert nconv == k
+    assert eigs.num_iterations() > 0
+    assert eigs.num_operations() > 0
+    vals = np.asarray(eigs.eigenvalues())
+    vecs = np.asarray(eigs.eigenvectors())
+    resid = np.abs(A @ vecs - vecs * vals[None, :]).max()
+    assert resid <= 1e-9, f"residual {resid}"
+    return vals
+
+
+@pytest.mark.parametrize("selection", RULES)
+@pytest.mark.parametrize("n,k,m", [(10, 3, 6), (100, 10, 20)])
+def test_sym_eigs_dense(n, k, m, selection):
+    A = _sym_matrix(n)
+    vals = _run(A, k, m, selection)
+    # Cross-check the selected eigenvalues against the full spectrum
+    w = np.linalg.eigvalsh(A)
+    if selection == SortRule.LargestAlge:
+        want = w[-k:]
+    elif selection == SortRule.SmallestAlge:
+        want = w[:k]
+    elif selection == SortRule.LargestMagn:
+        want = w[np.argsort(-np.abs(w))[:k]]
+    elif selection == SortRule.SmallestMagn:
+        want = w[np.argsort(np.abs(w))[:k]]
+    else:  # BothEnds
+        lo, hi = k // 2, k - k // 2
+        want = np.concatenate([w[:lo], w[-hi:]])
+    np.testing.assert_allclose(np.sort(vals), np.sort(want), atol=1e-8)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("selection", [SortRule.LargestMagn, SortRule.SmallestMagn])
+def test_sym_eigs_n1000(selection):
+    A = _sym_matrix(1000)
+    _run(A, 20, 50, selection)
+
+
+def test_sorting_parameter():
+    A = _sym_matrix(100)
+    op = st.DenseSymMatProd.create(A)
+    eigs = st.SymEigsSolver(op, nev=5, ncv=20)
+    eigs.init()
+    eigs.compute(SortRule.LargestMagn, sorting=SortRule.SmallestAlge)
+    vals = np.asarray(eigs.eigenvalues())
+    assert np.all(np.diff(vals) >= 0)
+    eigs.compute(SortRule.LargestMagn, sorting=SortRule.LargestAlge)
+    vals = np.asarray(eigs.eigenvalues())
+    assert np.all(np.diff(vals) <= 0)
+
+
+def test_user_initial_residual():
+    A = _sym_matrix(50)
+    op = st.DenseSymMatProd.create(A)
+    eigs = st.SymEigsSolver(op, nev=3, ncv=10)
+    eigs.init(np.ones(50))
+    nconv = eigs.compute(SortRule.LargestMagn)
+    assert nconv == 3
+
+
+def test_zero_initial_residual_raises():
+    A = _sym_matrix(10)
+    eigs = st.SymEigsSolver(st.DenseSymMatProd.create(A), nev=2, ncv=5)
+    with pytest.raises(ValueError):
+        eigs.init(np.zeros(10))
+
+
+def test_parameter_validation():
+    A = _sym_matrix(10)
+    op = st.DenseSymMatProd.create(A)
+    with pytest.raises(ValueError):
+        st.SymEigsSolver(op, nev=0, ncv=5)
+    with pytest.raises(ValueError):
+        st.SymEigsSolver(op, nev=10, ncv=11)
+    with pytest.raises(ValueError):
+        st.SymEigsSolver(op, nev=3, ncv=3)
+
+
+def test_matvec_counts_reported():
+    A = _sym_matrix(100)
+    op = st.DenseSymMatProd.create(A)
+    eigs = st.SymEigsSolver(op, nev=3, ncv=12)
+    eigs.init()
+    eigs.compute(SortRule.LargestMagn)
+    # 2 for init, at least ncv - 1 for the first factorization
+    assert eigs.num_operations() >= 13
+
+
+def test_uplo_triangle_input():
+    A = _sym_matrix(30)
+    full = st.DenseSymMatProd.create(A, uplo="L")
+    lower_only = st.DenseSymMatProd.create(np.tril(A), uplo="L")
+    upper_only = st.DenseSymMatProd.create(np.triu(A), uplo="U")
+    x = np.random.default_rng(0).normal(size=30)
+    np.testing.assert_allclose(full.perform_op(x), lower_only.perform_op(x))
+    np.testing.assert_allclose(full.perform_op(x), upper_only.perform_op(x))
+
+
+@pytest.mark.parametrize("k,m", [(3, 6), (5, 12), (6, 12)])
+def test_eigenvalue_multiplicity_cycle_laplacian(k, m):
+    """Reference regression Example1.cpp (#144): cycle graph Laplacian
+    has doubly-degenerate eigenvalues; largest-k at tol=1e-15 must find
+    the degenerate copies through restarts."""
+    n = 20
+    A = np.zeros((n, n))
+    for i in range(n):
+        A[i, i] = 1.0
+        A[i, (i + 1) % n] = -0.5
+        A[i, (i - 1) % n] = -0.5
+    op = st.DenseSymMatProd.create(A)
+    eigs = st.SymEigsSolver(op, nev=k, ncv=m)
+    eigs.init()
+    eigs.compute(SortRule.LargestMagn, maxit=1000, tol=1e-15,
+                 sorting=SortRule.SmallestAlge)
+    assert eigs.info() == CompInfo.Successful
+    vals = np.asarray(eigs.eigenvalues())
+    vecs = np.asarray(eigs.eigenvectors())
+    resid = np.abs(A @ vecs - vecs * vals[None, :]).max()
+    assert resid <= 1e-9
+    w = np.linalg.eigvalsh(A)
+    np.testing.assert_allclose(vals, w[-k:], atol=1e-9)
