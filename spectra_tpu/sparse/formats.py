@@ -1,0 +1,158 @@
+"""TPU-native sparse matrix formats.
+
+The reference wraps Eigen's compressed-column/row sparse types
+(reference: include/Spectra/MatOp/SparseSymMatProd.h:31-108 and
+friends); CSR's variable-length rows force dynamic shapes, which XLA
+cannot tile. Here the device-resident format is **ELLPACK**: every row
+padded to a fixed width ``L = max nnz/row`` with (column 0, value 0)
+entries, so the SpMV
+
+    y[i] = sum_l vals[i, l] * x[cols[i, l]]
+
+is a statically-shaped gather plus a row reduction — one fused XLA op
+chain. Padding entries multiply by 0 and contribute nothing.
+
+Host-side conversion from scipy.sparse / dense numpy runs once at
+operator construction; the device arrays (``cols``, ``vals``) are
+row-partitionable: under a 1-D "rows" mesh they shard along axis 0
+while ``x`` is gathered (XLA inserts the all-gather over ICI).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from spectra_tpu.util.pytree import pytree_dataclass
+
+
+@pytree_dataclass(meta_fields=("n_rows", "n_cols"))
+class EllMatrix:
+    """Fixed-width (ELLPACK) sparse matrix.
+
+    Attributes:
+      cols: (n_rows, L) int32 column indices, padded with 0.
+      vals: (n_rows, L) values, padded with 0.
+      n_rows, n_cols: static logical shape.
+    """
+
+    cols: jnp.ndarray
+    vals: jnp.ndarray
+    n_rows: int
+    n_cols: int
+
+    @property
+    def dtype(self):
+        return self.vals.dtype
+
+    @property
+    def row_width(self) -> int:
+        return self.cols.shape[1]
+
+    @property
+    def nnz(self) -> int:
+        """Stored entries incl. explicit zeros (static metadata only
+        when constructed via the host converters)."""
+        return int(self.cols.shape[0] * self.cols.shape[1])
+
+    def matvec(self, x):
+        """y = A x (1-D x) — the statically-shaped ELL SpMV."""
+        return jnp.sum(self.vals * x[self.cols], axis=1)
+
+    def matmat(self, X):
+        """Y = A X for a block of vectors (columns of X)."""
+        return jnp.einsum("rl,rlk->rk", self.vals, X[self.cols, :])
+
+    def rmatvec(self, x):
+        """y = A^H x via scatter-add (used for rectangular operators)."""
+        contrib = jnp.conj(self.vals) * x[:, None]
+        y = jnp.zeros((self.n_cols,), self.vals.dtype)
+        return y.at[self.cols].add(contrib)
+
+    def element(self, i, j):
+        """A[i, j] (0 if not stored). Padded entries have value 0."""
+        row_cols = self.cols[i]
+        row_vals = self.vals[i]
+        return jnp.sum(jnp.where(row_cols == j, row_vals, 0))
+
+    def diagonal(self):
+        i = jnp.arange(self.n_rows)[:, None]
+        return jnp.sum(jnp.where(self.cols == i, self.vals, 0), axis=1)
+
+    def to_dense(self):
+        A = jnp.zeros((self.n_rows, self.n_cols), self.vals.dtype)
+        rows = jnp.broadcast_to(
+            jnp.arange(self.n_rows)[:, None], self.cols.shape
+        )
+        return A.at[rows, self.cols].add(self.vals)
+
+
+def _ell_arrays_from_csr(indptr, indices, data, n_rows, pad_width=None):
+    """Vectorized host-side CSR -> padded ELL conversion."""
+    nnz_per_row = np.diff(indptr)
+    L = int(nnz_per_row.max()) if n_rows and nnz_per_row.size else 1
+    if pad_width is not None:
+        L = max(L, int(pad_width))
+    L = max(L, 1)
+    cols = np.zeros((n_rows, L), dtype=np.int32)
+    vals = np.zeros((n_rows, L), dtype=data.dtype)
+    # Position of each nnz within its row:
+    offs = np.arange(len(indices)) - np.repeat(indptr[:-1], nnz_per_row)
+    rows = np.repeat(np.arange(n_rows), nnz_per_row)
+    cols[rows, offs] = indices
+    vals[rows, offs] = data
+    return cols, vals
+
+
+def ell_from_scipy(sp_mat, dtype=None, pad_width=None) -> EllMatrix:
+    """Build an :class:`EllMatrix` from any scipy.sparse matrix."""
+    csr = sp_mat.tocsr()
+    csr.sum_duplicates()
+    n_rows, n_cols = csr.shape
+    data = csr.data if dtype is None else csr.data.astype(dtype)
+    cols, vals = _ell_arrays_from_csr(
+        csr.indptr, csr.indices, data, n_rows, pad_width
+    )
+    return EllMatrix(
+        cols=jnp.asarray(cols),
+        vals=jnp.asarray(vals),
+        n_rows=n_rows,
+        n_cols=n_cols,
+    )
+
+
+def ell_from_dense(mat, pad_width=None) -> EllMatrix:
+    """Build an :class:`EllMatrix` from a dense array's nonzeros."""
+    mat = np.asarray(mat)
+    n_rows, n_cols = mat.shape
+    mask = mat != 0
+    nnz_per_row = mask.sum(axis=1)
+    indptr = np.concatenate([[0], np.cumsum(nnz_per_row)])
+    rows, cols_idx = np.nonzero(mask)
+    data = mat[rows, cols_idx]
+    cols, vals = _ell_arrays_from_csr(
+        indptr, cols_idx.astype(np.int32), data, n_rows, pad_width
+    )
+    return EllMatrix(
+        cols=jnp.asarray(cols),
+        vals=jnp.asarray(vals),
+        n_rows=n_rows,
+        n_cols=n_cols,
+    )
+
+
+def symmetrize_scipy(sp_mat, uplo: str = "L", conjugate: bool = False):
+    """Full symmetric/Hermitian matrix from one triangle of a scipy
+    sparse matrix — the input convention of the reference's
+    ``selfadjointView`` wrappers (SparseSymMatProd.h:83-89)."""
+    import scipy.sparse as sps
+
+    csr = sp_mat.tocsr()
+    if uplo == "L":
+        tri = sps.tril(csr, 0, format="csr")
+        off = sps.tril(csr, -1, format="csr")
+    elif uplo == "U":
+        tri = sps.triu(csr, 0, format="csr")
+        off = sps.triu(csr, 1, format="csr")
+    else:
+        raise ValueError("uplo must be 'L' or 'U'")
+    other = off.conjugate().T if conjugate else off.T
+    return (tri + other).tocsr()
