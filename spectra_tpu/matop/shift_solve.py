@@ -1,0 +1,385 @@
+"""Shift-solve operators: ``y = (A - sigma I)^{-1} x``.
+
+TPU-native counterparts of the reference's shift-solve wrappers
+(reference: include/Spectra/MatOp/DenseSymShiftSolve.h:33-110,
+DenseGenRealShiftSolve.h:29-104, SparseSymShiftSolve.h,
+SparseGenRealShiftSolve.h, DenseGenComplexShiftSolve.h:30-118,
+SparseGenComplexShiftSolve.h:32-124).
+
+Design notes (SURVEY.md section 7, hard part #1):
+
+* Dense symmetric/Hermitian -> our Bunch-Kaufman LDL^H
+  (:mod:`spectra_tpu.linalg.bkldlt`): factorize once at ``set_shift``,
+  then each ``perform_op`` is two XLA-blocked triangular solves — the
+  per-iteration hot path stays on-device.
+* Dense general -> partial-pivot LU (``jax.scipy.linalg.lu_factor``),
+  the XLA-native equivalent of Eigen's PartialPivLU.
+* Sparse -> two interchangeable backends:
+  - ``method="splu"`` (default): one-time host SuperLU factorization of
+    ``A - sigma I`` (scipy), with the per-iteration solve bridged into
+    the compiled program via ``jax.pure_callback`` — the replicated
+    direct-solve analogue of the reference delegating to Eigen's
+    SparseLU. The factorization is serial and host-resident; only the
+    right-hand sides cross the host boundary.
+  - ``method="cg"`` / ``"bicgstab"``: fully on-device Krylov inner
+    solve using the ELL SpMV, for problems too large to factor (the
+    RegularInverse mode sets precedent for iterative inverse operators,
+    reference: MatOp/SparseRegularInverse.h:105-116).
+
+Following the reference's API, ops are created unshifted and
+``set_shift(sigma)`` performs the factorization; in our functional
+style it *returns a new operator* carrying the factors.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from spectra_tpu.linalg import bkldlt
+from spectra_tpu.matop.dense import _symmetrize, _hermitize
+from spectra_tpu.sparse.formats import EllMatrix, symmetrize_scipy
+from spectra_tpu.util import dtypes
+from spectra_tpu.util.pytree import pytree_dataclass
+
+
+class ShiftFactorizationError(RuntimeError):
+    """Raised when ``A - sigma I`` (or ``A - sigma B``) is singular,
+    mirroring the reference's std::invalid_argument on factorization
+    failure (SymShiftInvert.h:225-226)."""
+
+
+@pytree_dataclass
+class DenseSymShiftSolve:
+    """(A - sigma I)^{-1} x for dense real symmetric A via BKLDLT
+    (reference: DenseSymShiftSolve.h:13,51,86)."""
+
+    mat: jnp.ndarray
+    factors: object  # BKFactors or None before set_shift
+
+    @classmethod
+    def create(cls, mat, uplo: str = "L"):
+        return cls(mat=_symmetrize(mat, uplo), factors=None)
+
+    @property
+    def dtype(self):
+        return self.mat.dtype
+
+    def rows(self) -> int:
+        return self.mat.shape[0]
+
+    def cols(self) -> int:
+        return self.mat.shape[1]
+
+    def set_shift(self, sigma):
+        fac = jax.jit(bkldlt.factorize)(self.mat, sigma)
+        if not bool(fac.ok):
+            raise ShiftFactorizationError(
+                "factorization failed: sigma is an eigenvalue of the matrix"
+            )
+        return DenseSymShiftSolve(mat=self.mat, factors=fac)
+
+    def perform_op(self, x):
+        return bkldlt.solve(self.factors, x)
+
+
+@pytree_dataclass
+class DenseHermShiftSolve:
+    """(A - sigma I)^{-1} x for dense complex Hermitian A (sigma real)."""
+
+    mat: jnp.ndarray
+    factors: object
+
+    @classmethod
+    def create(cls, mat, uplo: str = "L"):
+        return cls(mat=_hermitize(mat, uplo), factors=None)
+
+    @property
+    def dtype(self):
+        return self.mat.dtype
+
+    def rows(self) -> int:
+        return self.mat.shape[0]
+
+    def cols(self) -> int:
+        return self.mat.shape[1]
+
+    def set_shift(self, sigma):
+        fac = jax.jit(bkldlt.factorize)(self.mat, sigma)
+        if not bool(fac.ok):
+            raise ShiftFactorizationError(
+                "factorization failed: sigma is an eigenvalue of the matrix"
+            )
+        return DenseHermShiftSolve(mat=self.mat, factors=fac)
+
+    def perform_op(self, x):
+        return bkldlt.solve(self.factors, x)
+
+
+@pytree_dataclass
+class DenseGenRealShiftSolve:
+    """(A - sigma I)^{-1} x for dense general real A via partial-pivot
+    LU (reference: DenseGenRealShiftSolve.h:47)."""
+
+    mat: jnp.ndarray
+    lu: object
+    piv: object
+
+    @classmethod
+    def create(cls, mat):
+        return cls(mat=jnp.asarray(mat), lu=None, piv=None)
+
+    @property
+    def dtype(self):
+        return self.mat.dtype
+
+    def rows(self) -> int:
+        return self.mat.shape[0]
+
+    def cols(self) -> int:
+        return self.mat.shape[1]
+
+    def set_shift(self, sigma):
+        n = self.mat.shape[0]
+        M = self.mat - jnp.asarray(sigma, self.mat.dtype) * jnp.eye(
+            n, dtype=self.mat.dtype
+        )
+        lu, piv = jax.scipy.linalg.lu_factor(M)
+        if not bool(jnp.all(jnp.isfinite(lu))) or bool(
+            jnp.any(jnp.diagonal(lu) == 0)
+        ):
+            raise ShiftFactorizationError(
+                "factorization failed: sigma is an eigenvalue of the matrix"
+            )
+        return DenseGenRealShiftSolve(mat=self.mat, lu=lu, piv=piv)
+
+    def perform_op(self, x):
+        return jax.scipy.linalg.lu_solve((self.lu, self.piv), x)
+
+
+@pytree_dataclass
+class DenseGenComplexShiftSolve:
+    """Re[(A - (sr + si*i) I)^{-1} x] for dense general *real* A — the
+    real-part trick of the complex-shift solver
+    (reference: DenseGenComplexShiftSolve.h:50-54,108)."""
+
+    mat: jnp.ndarray
+    lu: object
+    piv: object
+
+    @classmethod
+    def create(cls, mat):
+        return cls(mat=jnp.asarray(mat), lu=None, piv=None)
+
+    @property
+    def dtype(self):
+        return self.mat.dtype  # real dtype: output is Re(solve)
+
+    def rows(self) -> int:
+        return self.mat.shape[0]
+
+    def cols(self) -> int:
+        return self.mat.shape[1]
+
+    def set_shift(self, sigmar, sigmai):
+        n = self.mat.shape[0]
+        cdtype = dtypes.complex_dtype(self.mat.dtype)
+        sigma = jnp.asarray(complex(sigmar, sigmai), cdtype)
+        M = self.mat.astype(cdtype) - sigma * jnp.eye(n, dtype=cdtype)
+        lu, piv = jax.scipy.linalg.lu_factor(M)
+        if bool(jnp.any(jnp.diagonal(lu) == 0)):
+            raise ShiftFactorizationError(
+                "factorization failed: sigma is an eigenvalue of the matrix"
+            )
+        return DenseGenComplexShiftSolve(mat=self.mat, lu=lu, piv=piv)
+
+    def perform_op(self, x):
+        cdtype = dtypes.complex_dtype(self.mat.dtype)
+        y = jax.scipy.linalg.lu_solve((self.lu, self.piv), x.astype(cdtype))
+        return jnp.real(y).astype(self.mat.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Sparse shift-solve: host SuperLU (direct) or on-device Krylov (iterative)
+# ---------------------------------------------------------------------------
+
+
+class _HostLUSolver:
+    """Hashable host-side wrapper around a scipy SuperLU factor."""
+
+    __slots__ = ("splu", "n", "np_dtype")
+
+    def __init__(self, splu, n, np_dtype):
+        self.splu = splu
+        self.n = n
+        self.np_dtype = np_dtype
+
+    def __call__(self, b):
+        b = np.asarray(b)
+        if b.ndim == 1:
+            return self.splu.solve(b.astype(self.np_dtype, copy=False))
+        return self.splu.solve(b.astype(self.np_dtype, copy=False))
+
+
+@pytree_dataclass(meta_fields=("solver", "n", "method", "out_real"))
+class SparseShiftSolveBase:
+    """Shared machinery for the sparse (A - sigma I)^{-1} operators.
+
+    ``method="splu"``: ``solver`` holds the host factorization and
+    ``perform_op`` round-trips the RHS via ``pure_callback``.
+    ``method="cg"``/``"bicgstab"``: ``shifted`` holds the on-device ELL
+    matrix of ``A - sigma I`` and the solve is an inner Krylov iteration
+    compiled into the outer program.
+    """
+
+    shifted: object  # EllMatrix of A - sigma*I (or None for splu)
+    solver: object
+    n: int
+    method: str
+    out_real: bool
+
+    @property
+    def dtype(self):
+        if self.method == "splu":
+            base = jnp.dtype(self.solver.np_dtype)
+        else:
+            base = self.shifted.dtype
+        if self.out_real:
+            return jnp.finfo(base).dtype
+        return base
+
+    def rows(self) -> int:
+        return self.n
+
+    def cols(self) -> int:
+        return self.n
+
+    def perform_op(self, x):
+        if self.method == "splu":
+            work_dtype = jnp.dtype(self.solver.np_dtype)
+            out = jax.ShapeDtypeStruct(x.shape, work_dtype)
+            y = jax.pure_callback(self.solver, out, x.astype(work_dtype))
+        else:
+            solve = (
+                jax.scipy.sparse.linalg.cg
+                if self.method == "cg"
+                else jax.scipy.sparse.linalg.bicgstab
+            )
+            mv = self.shifted.matvec
+            work_dtype = self.shifted.dtype
+            eps = dtypes.eps(work_dtype)
+            y, _ = solve(
+                mv, x.astype(work_dtype), tol=eps * 10, maxiter=10 * self.n
+            )
+        if self.out_real:
+            return jnp.real(y).astype(self.dtype)
+        return y
+
+
+def _build_sparse_shift(csr, sigma, method, out_real=False):
+    import scipy.sparse as sps
+    import scipy.sparse.linalg as spla
+
+    n = csr.shape[0]
+    shifted = (csr - sigma * sps.eye(n, dtype=csr.dtype, format="csr")).tocsr()
+    if method == "splu":
+        try:
+            lu = spla.splu(shifted.tocsc())
+        except RuntimeError as err:
+            raise ShiftFactorizationError(
+                f"sparse factorization failed: {err}"
+            ) from err
+        solver = _HostLUSolver(lu, n, shifted.dtype)
+        return SparseShiftSolveBase(
+            shifted=None, solver=solver, n=n, method="splu", out_real=out_real
+        )
+    from spectra_tpu.sparse.formats import ell_from_scipy
+
+    return SparseShiftSolveBase(
+        shifted=ell_from_scipy(shifted),
+        solver=None,
+        n=n,
+        method=method,
+        out_real=out_real,
+    )
+
+
+class SparseSymShiftSolve:
+    """(A - sigma I)^{-1} x for sparse real symmetric A
+    (reference: SparseSymShiftSolve.h:51,85-102 uses Eigen SparseLU)."""
+
+    def __init__(self, csr, uplo: str = "L", method: str = "splu"):
+        self._csr = symmetrize_scipy(csr, uplo, conjugate=False)
+        self._method = method
+
+    @property
+    def dtype(self):
+        return jnp.dtype(self._csr.dtype)
+
+    def rows(self) -> int:
+        return self._csr.shape[0]
+
+    def cols(self) -> int:
+        return self._csr.shape[1]
+
+    @classmethod
+    def create(cls, csr, uplo: str = "L", method: str = "splu"):
+        return cls(csr, uplo, method)
+
+    def set_shift(self, sigma):
+        return _build_sparse_shift(self._csr, sigma, self._method)
+
+
+class SparseGenRealShiftSolve:
+    """(A - sigma I)^{-1} x for sparse general real A
+    (reference: SparseGenRealShiftSolve.h:49)."""
+
+    def __init__(self, csr, method: str = "splu"):
+        self._csr = csr.tocsr()
+        self._method = method
+
+    @property
+    def dtype(self):
+        return jnp.dtype(self._csr.dtype)
+
+    def rows(self) -> int:
+        return self._csr.shape[0]
+
+    def cols(self) -> int:
+        return self._csr.shape[1]
+
+    @classmethod
+    def create(cls, csr, method: str = "splu"):
+        return cls(csr, method)
+
+    def set_shift(self, sigma):
+        return _build_sparse_shift(self._csr, sigma, self._method)
+
+
+class SparseGenComplexShiftSolve:
+    """Re[(A - (sr + si*i) I)^{-1} x] for sparse general real A
+    (reference: SparseGenComplexShiftSolve.h:52-56,114)."""
+
+    def __init__(self, csr, method: str = "splu"):
+        self._csr = csr.tocsr()
+        self._method = method
+
+    @property
+    def dtype(self):
+        return jnp.dtype(self._csr.dtype)
+
+    def rows(self) -> int:
+        return self._csr.shape[0]
+
+    def cols(self) -> int:
+        return self._csr.shape[1]
+
+    @classmethod
+    def create(cls, csr, method: str = "splu"):
+        return cls(csr, method)
+
+    def set_shift(self, sigmar, sigmai):
+        cdtype = np.result_type(self._csr.dtype, np.complex64)
+        csr_c = self._csr.astype(cdtype)
+        return _build_sparse_shift(
+            csr_c, complex(sigmar, sigmai), self._method, out_real=True
+        )

@@ -131,4 +131,10 @@ class HermEigsBase:
         small = res.vectors_small[:, res.conv]
         if nvec is not None:
             small = small[:, : min(nvec, small.shape[1])]
-        return res.V @ small.astype(res.V.dtype)
+        return self._vector_transform(res.V @ small.astype(res.V.dtype))
+
+    def _vector_transform(self, vecs):
+        """Hook mapping Ritz vectors of the transformed problem back to
+        eigenvectors of the original problem (e.g. the Cholesky-mode
+        back-solve, reference: SymGEigsSolver.h:195-207)."""
+        return vecs

@@ -1,0 +1,136 @@
+"""Shift-solve operators + SymEigsShiftSolver integration.
+
+Mirrors the reference's shift-mode solver tests: eigenvalues closest
+to sigma with residual ``||A U - U Lambda||_inf <= 1e-9``
+(reference: test/SymEigsShift.cpp).
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sps
+
+import spectra_tpu as st
+
+
+def _rand_sym(n, seed=123):
+    rng = np.random.RandomState(seed)
+    A = rng.uniform(size=(n, n)) - 0.5
+    return A + A.T
+
+
+def _rand_sparse_sym(n, density=0.1, seed=123):
+    rng = np.random.RandomState(seed)
+    A = sps.random(n, n, density=density, random_state=rng, format="csr")
+    return (A + A.T).tocsr()
+
+
+class TestShiftSolveOps:
+    def test_dense_sym_shift_solve(self):
+        A = _rand_sym(50)
+        op = st.DenseSymShiftSolve.create(A).set_shift(0.7)
+        x = np.random.default_rng(1).normal(size=50)
+        y = np.asarray(op.perform_op(x))
+        np.testing.assert_allclose((A - 0.7 * np.eye(50)) @ y, x, atol=1e-10)
+
+    def test_dense_sym_shift_solve_uplo(self):
+        A = _rand_sym(30)
+        for uplo in ("L", "U"):
+            op = st.DenseSymShiftSolve.create(A, uplo=uplo).set_shift(-0.3)
+            x = np.ones(30)
+            y = np.asarray(op.perform_op(x))
+            np.testing.assert_allclose((A + 0.3 * np.eye(30)) @ y, x, atol=1e-10)
+
+    def test_dense_gen_real_shift_solve(self):
+        rng = np.random.default_rng(2)
+        A = rng.normal(size=(40, 40))
+        op = st.DenseGenRealShiftSolve.create(A).set_shift(1.1)
+        x = rng.normal(size=40)
+        y = np.asarray(op.perform_op(x))
+        np.testing.assert_allclose((A - 1.1 * np.eye(40)) @ y, x, atol=1e-10)
+
+    def test_dense_gen_complex_shift_solve(self):
+        rng = np.random.default_rng(3)
+        A = rng.normal(size=(30, 30))
+        op = st.DenseGenComplexShiftSolve.create(A).set_shift(0.5, 0.8)
+        x = rng.normal(size=30)
+        y = np.asarray(op.perform_op(x))
+        want = np.real(
+            np.linalg.solve(A - (0.5 + 0.8j) * np.eye(30), x.astype(complex))
+        )
+        np.testing.assert_allclose(y, want, atol=1e-10)
+
+    def test_sparse_sym_shift_solve_splu(self):
+        A = _rand_sparse_sym(80)
+        op = st.SparseSymShiftSolve.create(A).set_shift(0.2)
+        x = np.random.default_rng(4).normal(size=80)
+        y = np.asarray(op.perform_op(x))
+        np.testing.assert_allclose(
+            (A - 0.2 * sps.eye(80)) @ y, x, atol=1e-9
+        )
+
+    def test_sparse_gen_complex_shift_solve(self):
+        rng = np.random.RandomState(5)
+        A = sps.random(40, 40, density=0.2, random_state=rng, format="csr")
+        op = st.SparseGenComplexShiftSolve.create(A).set_shift(0.3, 0.4)
+        x = np.random.default_rng(6).normal(size=40)
+        y = np.asarray(op.perform_op(x))
+        want = np.real(
+            np.linalg.solve(
+                A.toarray() - (0.3 + 0.4j) * np.eye(40), x.astype(complex)
+            )
+        )
+        np.testing.assert_allclose(y, want, atol=1e-9)
+
+    def test_singular_shift_raises(self):
+        A = np.diag([1.0, 2.0, 3.0])
+        with pytest.raises(Exception):
+            st.DenseSymShiftSolve.create(A).set_shift(2.0)
+
+
+class TestSymEigsShiftSolver:
+    @pytest.mark.parametrize("sigma", [0.0, 1.0])
+    def test_dense(self, sigma):
+        n, k, m = 100, 6, 20
+        A = _rand_sym(n)
+        op = st.DenseSymShiftSolve.create(A)
+        eigs = st.SymEigsShiftSolver(op, nev=k, ncv=m, sigma=sigma)
+        eigs.init()
+        nconv = eigs.compute(st.SortRule.LargestMagn)
+        assert eigs.info() == st.CompInfo.Successful
+        assert nconv == k
+        vals = eigs.eigenvalues()
+        vecs = eigs.eigenvectors()
+        resid = np.abs(A @ vecs - vecs * vals[None, :]).max()
+        assert resid < 1e-9
+        # the k closest eigenvalues to sigma
+        w = np.linalg.eigvalsh(A)
+        closest = w[np.argsort(np.abs(w - sigma))[:k]]
+        np.testing.assert_allclose(np.sort(vals), np.sort(closest), atol=1e-9)
+
+    @pytest.mark.parametrize("method", ["splu", "cg"])
+    def test_sparse(self, method):
+        n, k, m = 120, 5, 20
+        A = _rand_sparse_sym(n)
+        op = st.SparseSymShiftSolve.create(A, method=method)
+        eigs = st.SymEigsShiftSolver(op, nev=k, ncv=m, sigma=0.0)
+        eigs.init()
+        eigs.compute(st.SortRule.LargestMagn)
+        assert eigs.info() == st.CompInfo.Successful
+        vals = eigs.eigenvalues()
+        vecs = eigs.eigenvectors()
+        resid = np.abs(A @ vecs - vecs * vals[None, :]).max()
+        assert resid < 1e-8
+        w = np.linalg.eigvalsh(A.toarray())
+        closest = w[np.argsort(np.abs(w))[:k]]
+        np.testing.assert_allclose(np.sort(vals), np.sort(closest), atol=1e-8)
+
+    def test_sorting_of_back_transformed(self):
+        """Returned eigenvalues follow `sorting` on lambda, not nu."""
+        n = 60
+        A = _rand_sym(n, seed=7)
+        op = st.DenseSymShiftSolve.create(A)
+        eigs = st.SymEigsShiftSolver(op, nev=4, ncv=16, sigma=0.5)
+        eigs.init()
+        eigs.compute(st.SortRule.LargestMagn, sorting=st.SortRule.SmallestAlge)
+        vals = eigs.eigenvalues()
+        assert np.all(np.diff(vals) >= 0)
