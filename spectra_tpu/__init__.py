@@ -56,6 +56,7 @@ def __getattr__(name):
         "SparseGenMatProd": "spectra_tpu.matop.sparse",
         "SparseHermMatProd": "spectra_tpu.matop.sparse",
         "DenseSymShiftSolve": "spectra_tpu.matop.shift_solve",
+        "DenseHermShiftSolve": "spectra_tpu.matop.shift_solve",
         "SparseSymShiftSolve": "spectra_tpu.matop.shift_solve",
         "DenseGenRealShiftSolve": "spectra_tpu.matop.shift_solve",
         "SparseGenRealShiftSolve": "spectra_tpu.matop.shift_solve",

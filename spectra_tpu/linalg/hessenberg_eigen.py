@@ -1,0 +1,49 @@
+"""Eigen-decomposition of the (small, replicated) upper Hessenberg H.
+
+Counterpart of the reference's UpperHessenbergEigen / UpperHessenbergSchur
+(reference: include/Spectra/LinAlg/UpperHessenbergEigen.h:33-454,
+UpperHessenbergSchur.h:30-456), which delegate the numerics to Eigen's
+RealSchur/ComplexSchur machinery.
+
+XLA has no nonsymmetric eigensolver on TPU, and this is an ncv-by-ncv
+*replicated* problem that sits on the latency path, not the throughput
+path — exactly the part ARPACK also solves redundantly on every rank.
+We bridge it to the host LAPACK (``numpy.linalg.eig``) through
+``jax.pure_callback``: deterministic, identical on every host, and the
+(ncv, ncv) payload is microscopic next to the sharded n-dimension
+arrays. LAPACK's dgeev returns complex-conjugate eigenpairs *exactly*
+conjugate and adjacent, the property the restart pairing logic relies
+on (reference: GenEigsBase.h:55-56 uses the same exact-conjugacy
+invariant from its own Schur code).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from spectra_tpu.util import dtypes
+
+
+def _host_eig(H):
+    w, v = np.linalg.eig(H)
+    return w, v
+
+
+def hessenberg_eigen(H):
+    """Eigenvalues and unit-norm eigenvectors of a Hessenberg matrix.
+
+    Returns ``(evals (m,), evecs (m, m))``, both complex; for real H
+    complex-conjugate pairs are exact and adjacent.
+    """
+    m = H.shape[0]
+    cdtype = dtypes.complex_dtype(H.dtype)
+    out = (
+        jax.ShapeDtypeStruct((m,), cdtype),
+        jax.ShapeDtypeStruct((m, m), cdtype),
+    )
+
+    def cb(Hh):
+        w, v = _host_eig(np.asarray(Hh))
+        return w.astype(cdtype), v.astype(cdtype)
+
+    return jax.pure_callback(cb, out, H)

@@ -119,7 +119,7 @@ class HermEigsBase:
     def eigenvalues(self) -> np.ndarray:
         """Converged eigenvalues (real), in the requested sorting order."""
         if self._result is None:
-            return np.zeros((0,), np.dtype(self._dtype).name.replace("complex", "float"))
+            return np.zeros((0,), jnp.finfo(self._dtype).dtype)
         res = self._result
         return res.values[res.conv]
 
@@ -131,7 +131,10 @@ class HermEigsBase:
         small = res.vectors_small[:, res.conv]
         if nvec is not None:
             small = small[:, : min(nvec, small.shape[1])]
-        return self._vector_transform(res.V @ small.astype(res.V.dtype))
+        out_dtype = np.result_type(res.V.dtype, small.dtype)
+        return self._vector_transform(
+            res.V.astype(out_dtype) @ small.astype(out_dtype)
+        )
 
     def _vector_transform(self, vecs):
         """Hook mapping Ritz vectors of the transformed problem back to
