@@ -69,6 +69,14 @@ class DenseGenMatProd:
     def perform_op(self, x):
         return self.mat @ x
 
+    def perform_trans_op(self, x):
+        """y = A^T x (used by the partial-SVD Gram operators)."""
+        return self.mat.T @ x
+
+    def perform_adjoint_op(self, x):
+        """y = A^H x."""
+        return jnp.conj(self.mat).T @ x
+
     def element(self, i, j):
         return self.mat[i, j]
 

@@ -1,0 +1,86 @@
+"""contrib tests: PartialSVDSolver (reference: test/SVD.cpp) and
+LOBPCGSolver (reference: test/LOBPCG.cpp)."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sps
+
+import spectra_tpu as st
+
+
+class TestPartialSVD:
+    @pytest.mark.parametrize("shape", [(100, 60), (60, 100), (80, 80)])
+    def test_dense(self, shape):
+        m, n = shape
+        rng = np.random.default_rng(m * 1000 + n)
+        A = rng.normal(size=(m, n))
+        k = 5
+        svds = st.PartialSVDSolver(A, ncomp=k, ncv=15)
+        nconv = svds.compute()
+        assert nconv == k
+        s = svds.singular_values()
+        U = svds.matrix_U(k)
+        V = svds.matrix_V(k)
+        true_s = np.linalg.svd(A, compute_uv=False)[:k]
+        np.testing.assert_allclose(s, true_s, atol=1e-8)
+        # A V = U S
+        np.testing.assert_allclose(A @ V, U * s[None, :], atol=1e-7)
+        # orthonormal factors
+        np.testing.assert_allclose(U.T @ U, np.eye(k), atol=1e-7)
+        np.testing.assert_allclose(V.T @ V, np.eye(k), atol=1e-7)
+
+    def test_sparse(self):
+        rng = np.random.RandomState(3)
+        A = sps.random(150, 80, density=0.2, random_state=rng, format="csr")
+        k = 4
+        svds = st.PartialSVDSolver(A, ncomp=k, ncv=12)
+        svds.compute()
+        s = svds.singular_values()
+        true_s = np.linalg.svd(A.toarray(), compute_uv=False)[:k]
+        np.testing.assert_allclose(s, true_s, atol=1e-8)
+        U, V = svds.matrix_U(k), svds.matrix_V(k)
+        np.testing.assert_allclose(A @ V, U * s[None, :], atol=1e-7)
+
+
+class TestLOBPCG:
+    def _laplacian(self, g):
+        lap1 = sps.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(g, g))
+        return (sps.kron(sps.eye(g), lap1) + sps.kron(lap1, sps.eye(g))).tocsr()
+
+    def test_smallest_standard(self):
+        g = 10
+        A = self._laplacian(g)
+        n = g * g
+        k = 4
+        rng = np.random.default_rng(0)
+        X0 = rng.normal(size=(n, k))
+        solver = st.LOBPCGSolver(A, X0)
+        nconv = solver.compute(maxit=200, tol_div_n=1e-10)
+        assert solver.info() == st.CompInfo.Successful
+        assert nconv == k
+        vals = solver.eigenvalues()
+        vecs = solver.eigenvectors()
+        w = np.sort(np.linalg.eigvalsh(A.toarray()))[:k]
+        np.testing.assert_allclose(np.sort(vals), w, atol=1e-6)
+        resid = np.abs(A @ vecs - vecs * vals[None, :]).max()
+        assert resid < 1e-5
+
+    def test_generalized_with_preconditioner(self):
+        g = 8
+        A = self._laplacian(g)
+        n = g * g
+        k = 3
+        B = sps.diags(1.0 + 0.5 * np.sin(np.arange(n))).tocsr()
+        T = sps.diags(1.0 / A.diagonal()).tocsr()  # Jacobi preconditioner
+        rng = np.random.default_rng(1)
+        X0 = rng.normal(size=(n, k))
+        solver = st.LOBPCGSolver(A, X0)
+        solver.set_B(B)
+        solver.set_preconditioner(T)
+        nconv = solver.compute(maxit=300, tol_div_n=1e-10)
+        assert solver.info() == st.CompInfo.Successful
+        vals = solver.eigenvalues()
+        import scipy.linalg
+
+        w = np.sort(scipy.linalg.eigh(A.toarray(), B.toarray(), eigvals_only=True))[:k]
+        np.testing.assert_allclose(np.sort(vals), w, atol=1e-6)
