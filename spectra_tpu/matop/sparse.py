@@ -19,7 +19,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from spectra_tpu.sparse.formats import (
+    DiaMatrix,
     EllMatrix,
+    dia_from_scipy,
+    dia_suitability,
     ell_from_dense,
     ell_from_scipy,
     symmetrize_scipy,
@@ -31,12 +34,21 @@ def _is_scipy_sparse(mat) -> bool:
     return hasattr(mat, "tocsr") and hasattr(mat, "shape")
 
 
-def _to_ell(mat, dtype=None) -> EllMatrix:
-    if isinstance(mat, EllMatrix):
+def _to_ell(mat, dtype=None, format: str = "auto"):
+    """Device storage selection: ``"auto"`` picks DIA for banded
+    matrices (gather-free stencil SpMV), ELL otherwise."""
+    if isinstance(mat, (EllMatrix, DiaMatrix)):
         return mat
     if _is_scipy_sparse(mat):
+        if format == "dia" or (format == "auto" and dia_suitability(mat)):
+            return dia_from_scipy(mat, dtype=dtype)
         return ell_from_scipy(mat, dtype=dtype)
-    return ell_from_dense(np.asarray(mat, dtype=dtype))
+    mat = np.asarray(mat, dtype=dtype)
+    if format == "dia":
+        import scipy.sparse as sps
+
+        return dia_from_scipy(sps.csr_matrix(mat), dtype=dtype)
+    return ell_from_dense(mat)
 
 
 def _dense_triangle(mat, uplo, conjugate):
@@ -81,11 +93,11 @@ class _EllProdBase:
 class SparseGenMatProd(_EllProdBase):
     """y = A x for a general sparse (real or complex) matrix."""
 
-    ell: EllMatrix
+    ell: object  # EllMatrix or DiaMatrix
 
     @classmethod
-    def create(cls, mat, dtype=None):
-        return cls(ell=_to_ell(mat, dtype))
+    def create(cls, mat, dtype=None, format: str = "auto"):
+        return cls(ell=_to_ell(mat, dtype, format))
 
     def perform_trans_op(self, x):
         """y = A^T x (used by the partial-SVD wide/tall Gram operators)."""
@@ -107,20 +119,20 @@ class SparseSymMatProd(_EllProdBase):
     (reference: MatOp/SparseSymMatProd.h:83-89).
     """
 
-    ell: EllMatrix
+    ell: object  # EllMatrix or DiaMatrix
 
     @classmethod
-    def create(cls, mat, uplo: str = "L", dtype=None):
+    def create(cls, mat, uplo: str = "L", dtype=None, format: str = "auto"):
         if _is_scipy_sparse(mat):
             full = symmetrize_scipy(mat, uplo, conjugate=False)
-            return cls(ell=ell_from_scipy(full, dtype=dtype))
+            return cls(ell=_to_ell(full, dtype, format))
         full = _dense_triangle(np.asarray(mat, dtype=dtype), uplo, conjugate=False)
         return cls(ell=ell_from_dense(full))
 
     @classmethod
-    def from_full(cls, mat, dtype=None):
+    def from_full(cls, mat, dtype=None, format: str = "auto"):
         """Build from an already-symmetric full matrix (no triangle read)."""
-        return cls(ell=_to_ell(mat, dtype))
+        return cls(ell=_to_ell(mat, dtype, format))
 
 
 @pytree_dataclass

@@ -125,6 +125,10 @@ def _restart(arnop, state, ritz_val, k_new, nev: int, ncv: int, mode: str):
 
 
 class _LoopCarry(NamedTuple):
+    """Resumable iteration state — also the checkpoint payload: a
+    pytree of arrays that can be saved/restored across processes
+    (SURVEY.md section 5, checkpoint/resume)."""
+
     state: krylov.KrylovState
     ritz_val: jax.Array
     ritz_est: jax.Array
@@ -132,6 +136,87 @@ class _LoopCarry(NamedTuple):
     conv: jax.Array
     nconv: jax.Array
     restarts: jax.Array
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nev", "ncv", "selection", "mode")
+)
+def irlm_start(
+    arnop, v0, key, tol, *, nev: int, ncv: int, selection: SortRule, mode: str
+) -> _LoopCarry:
+    """Initial ncv-step factorization + first Ritz extraction."""
+    state = krylov.init(arnop, v0, ncv, key)
+    state = krylov.factorize_from(arnop, state, 1, mode)
+    ritz_val, ritz_est, ritz_vec = _retrieve_ritzpair(state.H, selection, nev)
+    conv, nconv = _num_converged(ritz_val, ritz_est, state.beta, tol, nev)
+    return _LoopCarry(
+        state, ritz_val, ritz_est, ritz_vec, conv, nconv, jnp.asarray(0, jnp.int32)
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nev", "ncv", "selection", "mode")
+)
+def irlm_restarts(
+    arnop,
+    carry: _LoopCarry,
+    tol,
+    restart_budget,
+    *,
+    nev: int,
+    ncv: int,
+    selection: SortRule,
+    mode: str,
+) -> _LoopCarry:
+    """Run implicit restarts until convergence or until the total
+    restart count reaches ``restart_budget`` (dynamic).
+
+    Segmenting the outer loop into bounded chunks keeps each device
+    execution short (important under runtime watchdogs / preemption)
+    and makes the iteration checkpointable between chunks; the carry
+    crosses segments exactly, so chunked and single-shot runs are
+    bitwise identical.
+    """
+
+    def cond(c: _LoopCarry):
+        return (c.nconv < nev) & (c.restarts < restart_budget)
+
+    def body(c: _LoopCarry):
+        k_new = _nev_adjusted(c.nconv, c.ritz_est, nev, ncv)
+        state = _restart(arnop, c.state, c.ritz_val, k_new, nev, ncv, mode)
+        ritz_val, ritz_est, ritz_vec = _retrieve_ritzpair(state.H, selection, nev)
+        conv, nconv = _num_converged(ritz_val, ritz_est, state.beta, tol, nev)
+        return _LoopCarry(
+            state, ritz_val, ritz_est, ritz_vec, conv, nconv, c.restarts + 1
+        )
+
+    return jax.lax.while_loop(cond, body, carry)
+
+
+@functools.partial(jax.jit, static_argnames=("nev", "sorting", "transform"))
+def irlm_finalize(
+    carry: _LoopCarry,
+    transform_aux=None,
+    *,
+    nev: int,
+    sorting: SortRule,
+    transform=None,
+) -> IRLMResult:
+    """Back-transform and sort the first nev Ritz pairs."""
+    vals = carry.ritz_val[:nev]
+    if transform is not None:
+        vals = transform(vals, transform_aux)
+    ind = argsort(sorting, vals)
+    return IRLMResult(
+        values=vals[ind],
+        vectors_small=carry.ritz_vec[:, ind],
+        conv=carry.conv[ind],
+        nconv=carry.nconv,
+        niter=carry.restarts + 1,
+        nops=carry.state.nops,
+        V=carry.state.V,
+        f=carry.state.f,
+    )
 
 
 @functools.partial(
@@ -153,48 +238,19 @@ def irlm_compute(
     mode: str = "lanczos",
     transform=None,
 ) -> IRLMResult:
-    """Run the full IRLM and return sorted Ritz output.
+    """Single-program IRLM: start + restarts + finalize in one jit.
 
     ``transform`` (static) maps the operator's Ritz values nu back to
     the original eigenvalues lambda before the final sort; shift-invert
     solvers pass e.g. ``lambda nu, sigma: 1/nu + sigma`` with the shift
     in ``transform_aux`` (reference: SymEigsShiftSolver.h:163-169).
     """
-    state = krylov.init(arnop, v0, ncv, key)
-    state = krylov.factorize_from(arnop, state, 1, mode)
-    ritz_val, ritz_est, ritz_vec = _retrieve_ritzpair(state.H, selection, nev)
-    conv, nconv = _num_converged(ritz_val, ritz_est, state.beta, tol, nev)
-
-    def cond(c: _LoopCarry):
-        return (c.nconv < nev) & (c.restarts < maxit)
-
-    def body(c: _LoopCarry):
-        k_new = _nev_adjusted(c.nconv, c.ritz_est, nev, ncv)
-        state = _restart(arnop, c.state, c.ritz_val, k_new, nev, ncv, mode)
-        ritz_val, ritz_est, ritz_vec = _retrieve_ritzpair(state.H, selection, nev)
-        conv, nconv = _num_converged(ritz_val, ritz_est, state.beta, tol, nev)
-        return _LoopCarry(state, ritz_val, ritz_est, ritz_vec, conv, nconv, c.restarts + 1)
-
-    carry = jax.lax.while_loop(
-        cond,
-        body,
-        _LoopCarry(
-            state, ritz_val, ritz_est, ritz_vec, conv, nconv, jnp.asarray(0, jnp.int32)
-        ),
+    carry = irlm_start(
+        arnop, v0, key, tol, nev=nev, ncv=ncv, selection=selection, mode=mode
     )
-
-    # Final sort of the first nev pairs (after back-transform).
-    vals = carry.ritz_val[:nev]
-    if transform is not None:
-        vals = transform(vals, transform_aux)
-    ind = argsort(sorting, vals)
-    return IRLMResult(
-        values=vals[ind],
-        vectors_small=carry.ritz_vec[:, ind],
-        conv=carry.conv[ind],
-        nconv=carry.nconv,
-        niter=carry.restarts + 1,
-        nops=carry.state.nops,
-        V=carry.state.V,
-        f=carry.state.f,
+    carry = irlm_restarts(
+        arnop, carry, tol, maxit, nev=nev, ncv=ncv, selection=selection, mode=mode
+    )
+    return irlm_finalize(
+        carry, transform_aux, nev=nev, sorting=sorting, transform=transform
     )

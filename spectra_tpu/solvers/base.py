@@ -11,7 +11,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from spectra_tpu.matop.arnoldi_op import ArnoldiOp
-from spectra_tpu.solvers._herm_core import irlm_compute
+from spectra_tpu.solvers._herm_core import (
+    irlm_compute,
+    irlm_finalize,
+    irlm_restarts,
+    irlm_start,
+)
 from spectra_tpu.util.compinfo import CompInfo
 from spectra_tpu.util.rng import SimpleRandom
 from spectra_tpu.util.selection import SortRule
@@ -49,6 +54,15 @@ class HermEigsBase:
         self._nops = 0
         self._v0 = None
         self._result = None
+        self._restart_chunk = None
+
+    def set_restart_chunk(self, chunk: int | None):
+        """Segment the restart loop into device executions of at most
+        ``chunk`` restarts each. Results are bitwise identical to the
+        single-shot run; use for very large problems to keep individual
+        accelerator executions short (watchdogs, preemption) and to
+        allow checkpointing between segments."""
+        self._restart_chunk = None if chunk is None else int(chunk)
 
     # -- initialization ------------------------------------------------
     def init(self, init_resid=None):
@@ -79,20 +93,49 @@ class HermEigsBase:
         """Run the solver; returns the number of converged eigenvalues."""
         if self._v0 is None:
             self.init()
-        res = irlm_compute(
-            self._arnop,
-            self._v0,
-            jax.random.PRNGKey(0),
-            jnp.asarray(maxit, jnp.int32),
-            jnp.asarray(tol, jnp.finfo(self._dtype).dtype),
-            self._transform_aux(),
-            nev=self._nev,
-            ncv=self._ncv,
-            selection=selection,
-            sorting=sorting,
-            mode=self._mode,
-            transform=type(self)._ritz_transform,
-        )
+        tol_arr = jnp.asarray(tol, jnp.finfo(self._dtype).dtype)
+        if self._restart_chunk is None:
+            res = irlm_compute(
+                self._arnop,
+                self._v0,
+                jax.random.PRNGKey(0),
+                jnp.asarray(maxit, jnp.int32),
+                tol_arr,
+                self._transform_aux(),
+                nev=self._nev,
+                ncv=self._ncv,
+                selection=selection,
+                sorting=sorting,
+                mode=self._mode,
+                transform=type(self)._ritz_transform,
+            )
+        else:
+            fixed = dict(
+                nev=self._nev, ncv=self._ncv, selection=selection, mode=self._mode
+            )
+            carry = irlm_start(
+                self._arnop, self._v0, jax.random.PRNGKey(0), tol_arr, **fixed
+            )
+            budget = 0
+            while budget < maxit:
+                budget = min(budget + self._restart_chunk, maxit)
+                carry = irlm_restarts(
+                    self._arnop,
+                    carry,
+                    tol_arr,
+                    jnp.asarray(budget, jnp.int32),
+                    **fixed,
+                )
+                nconv, restarts = jax.device_get((carry.nconv, carry.restarts))
+                if int(nconv) >= self._nev or int(restarts) < budget:
+                    break
+            res = irlm_finalize(
+                carry,
+                self._transform_aux(),
+                nev=self._nev,
+                sorting=sorting,
+                transform=type(self)._ritz_transform,
+            )
         res = jax.tree_util.tree_map(lambda x: np.asarray(x), res)
         self._result = res
         nconv = int(res.nconv)

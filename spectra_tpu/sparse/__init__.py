@@ -6,16 +6,30 @@ not translated from the reference's Eigen CSR wrappers:
 * :class:`~spectra_tpu.sparse.formats.EllMatrix` — fixed-width padded
   rows (ELLPACK). Every row stores exactly ``L`` (column, value) pairs,
   so an SpMV is a statically-shaped gather + row reduction that XLA
-  tiles onto the VPU with no dynamic shapes.
-* :class:`~spectra_tpu.sparse.formats.BsrMatrix` — block sparse rows
-  with dense ``bs x bs`` blocks that feed the MXU; used by the Pallas
-  SpMV kernel.
+  tiles onto the VPU with no dynamic shapes. The general-purpose
+  format.
+* :class:`~spectra_tpu.sparse.formats.DiaMatrix` — diagonal (DIA)
+  storage for banded/stencil matrices: the SpMV is a handful of
+  shifted fused multiply-adds with no gathers at all — the
+  speed-of-light representation for grid Laplacians and the format the
+  flagship benchmark runs on. ``dia_suitability`` decides when it
+  applies.
 """
 
 from spectra_tpu.sparse.formats import (
+    DiaMatrix,
     EllMatrix,
+    dia_from_scipy,
+    dia_suitability,
     ell_from_scipy,
     ell_from_dense,
 )
 
-__all__ = ["EllMatrix", "ell_from_scipy", "ell_from_dense"]
+__all__ = [
+    "DiaMatrix",
+    "EllMatrix",
+    "dia_from_scipy",
+    "dia_suitability",
+    "ell_from_scipy",
+    "ell_from_dense",
+]

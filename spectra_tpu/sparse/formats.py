@@ -18,6 +18,7 @@ row-partitionable: under a 1-D "rows" mesh they shard along axis 0
 while ``x`` is gathered (XLA inserts the all-gather over ICI).
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -137,6 +138,136 @@ def ell_from_dense(mat, pad_width=None) -> EllMatrix:
         n_rows=n_rows,
         n_cols=n_cols,
     )
+
+
+@pytree_dataclass(meta_fields=("offsets", "n_rows", "n_cols"))
+class DiaMatrix:
+    """Diagonal (DIA) sparse storage — the speed-of-light format for
+    banded/stencil matrices (e.g. grid Laplacians).
+
+    ``data[k, i] = A[i, i + offsets[k]]`` (row-aligned), so the SpMV is
+
+        y[i] = sum_k data[k, i] * x[i + offsets[k]]
+
+    — d shifted fused multiply-adds with **no gathers**: XLA compiles
+    this to a single bandwidth-bound VPU sweep, and it row-partitions
+    with only nearest-neighbor halo traffic (|offset| elements per
+    boundary), unlike gather-based formats.
+
+    Out-of-range positions of each diagonal hold zeros.
+    """
+
+    data: jnp.ndarray  # (d, n_rows)
+    offsets: tuple  # static ints, strictly increasing
+    n_rows: int
+    n_cols: int
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    @property
+    def nnz(self) -> int:
+        return int(self.data.shape[0] * self.data.shape[1])
+
+    def matvec(self, x):
+        lo = max(0, -min(self.offsets))
+        hi = max(0, max(self.offsets))
+        xp = jnp.pad(x, (lo, hi))
+        y = jnp.zeros((self.n_rows,), jnp.result_type(self.data.dtype, x.dtype))
+        for k, off in enumerate(self.offsets):
+            y = y + self.data[k] * jax.lax.dynamic_slice(
+                xp, (lo + off,), (self.n_rows,)
+            )
+        return y
+
+    def matmat(self, X):
+        lo = max(0, -min(self.offsets))
+        hi = max(0, max(self.offsets))
+        Xp = jnp.pad(X, ((lo, hi), (0, 0)))
+        Y = jnp.zeros(
+            (self.n_rows, X.shape[1]),
+            jnp.result_type(self.data.dtype, X.dtype),
+        )
+        for k, off in enumerate(self.offsets):
+            Y = Y + self.data[k][:, None] * jax.lax.dynamic_slice(
+                Xp, (lo + off, 0), (self.n_rows, X.shape[1])
+            )
+        return Y
+
+    def rmatvec(self, x):
+        """y = A^H x: the transposed stencil, still gather-free —
+        diagonal ``off`` of A is diagonal ``-off`` of A^H with
+        row-aligned values ``conj(data[k, i - off])``."""
+        lo = max(0, -min(self.offsets))
+        hi = max(0, max(self.offsets))
+        out_len = self.n_cols
+        y = jnp.zeros((out_len,), self.data.dtype)
+        tail = lo + max(0, out_len - self.n_rows)
+        for k, off in enumerate(self.offsets):
+            # contribution to y[j]: conj(A[j-off, j]) x[j-off]
+            w = jnp.pad(jnp.conj(self.data[k]) * x, (hi, tail))
+            y = y + jax.lax.dynamic_slice(w, (hi - off,), (out_len,))
+        return y
+
+    def element(self, i, j):
+        out = jnp.zeros((), self.data.dtype)
+        for k, off in enumerate(self.offsets):
+            out = jnp.where(j - i == off, self.data[k, i], out)
+        return out
+
+    def diagonal(self):
+        if 0 in self.offsets:
+            return self.data[self.offsets.index(0)]
+        return jnp.zeros((self.n_rows,), self.data.dtype)
+
+    def to_dense(self):
+        A = jnp.zeros((self.n_rows, self.n_cols), self.data.dtype)
+        i = jnp.arange(self.n_rows)
+        for k, off in enumerate(self.offsets):
+            j = i + off
+            ok = (j >= 0) & (j < self.n_cols)
+            A = A.at[i, jnp.clip(j, 0, self.n_cols - 1)].add(
+                jnp.where(ok, self.data[k], 0.0)
+            )
+        return A
+
+
+def dia_from_scipy(sp_mat, dtype=None) -> DiaMatrix:
+    """Build a row-aligned :class:`DiaMatrix` from scipy sparse."""
+    dia = sp_mat.todia()
+    n_rows, n_cols = dia.shape
+    offsets = tuple(int(o) for o in dia.offsets)
+    data = dia.data if dtype is None else dia.data.astype(dtype)
+    # scipy aligns data[k] by column index; shift to row alignment:
+    # row_data[k, i] = A[i, i+off] = scipy_data[k, i+off].
+    rows = np.zeros((len(offsets), n_rows), dtype=data.dtype)
+    for k, off in enumerate(offsets):
+        lo = max(0, -off)
+        hi = min(n_rows, n_cols - off)
+        if hi > lo:
+            rows[k, lo:hi] = data[k, lo + off : hi + off]
+    order = np.argsort(offsets)
+    return DiaMatrix(
+        data=jnp.asarray(rows[order]),
+        offsets=tuple(offsets[i] for i in order),
+        n_rows=n_rows,
+        n_cols=n_cols,
+    )
+
+
+def dia_suitability(sp_mat, max_diags: int = 32) -> bool:
+    """True when the matrix is banded enough that DIA beats ELL: few
+    distinct diagonals and low fill overhead."""
+    csr = sp_mat.tocsr()
+    coo = csr.tocoo()
+    if coo.nnz == 0:
+        return False
+    diags = np.unique(coo.col - coo.row)
+    if len(diags) > max_diags:
+        return False
+    stored = len(diags) * csr.shape[0]
+    return stored <= 4 * coo.nnz
 
 
 def symmetrize_scipy(sp_mat, uplo: str = "L", conjugate: bool = False):

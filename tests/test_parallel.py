@@ -1,0 +1,97 @@
+"""Sharded-execution tests on the 8-virtual-device CPU mesh
+(SURVEY.md section 4 build implication (c): multi-host behavior is
+validated on a forced-host-device mesh)."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sps
+
+import jax
+
+import spectra_tpu as st
+from spectra_tpu.parallel import row_mesh, shard_problem
+from spectra_tpu.util.rng import SimpleRandom
+
+
+requires_multidevice = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 virtual devices"
+)
+
+
+def _laplacian_2d(g):
+    lap1 = sps.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(g, g))
+    return (sps.kron(sps.eye(g), lap1) + sps.kron(lap1, sps.eye(g))).tocsr()
+
+
+@requires_multidevice
+class TestShardedSolve:
+    def _run(self, op, v0):
+        eigs = st.SymEigsSolver(op, nev=4, ncv=16)
+        eigs.init(v0)
+        eigs.compute(st.SortRule.LargestMagn)
+        return np.asarray(eigs.eigenvalues()), np.asarray(eigs.eigenvectors())
+
+    def test_sharded_ell_matches_unsharded(self):
+        n = 16 * 8
+        rng = np.random.RandomState(0)
+        A = sps.random(n, n, density=0.1, random_state=rng, format="csr")
+        A = A + A.T
+        v0 = SimpleRandom(0).random_vec(n)
+
+        op = st.SparseSymMatProd.from_full(A, format="ell")
+        vals_ref, _ = self._run(op, v0)
+
+        mesh = row_mesh(8)
+        op_s, v0_s = shard_problem(op, v0, mesh)
+        vals_s, vecs_s = self._run(op_s, v0_s)
+
+        np.testing.assert_allclose(vals_s, vals_ref, atol=1e-10)
+        resid = np.abs(A @ vecs_s - vecs_s * vals_s[None, :]).max()
+        assert resid < 1e-9
+
+    def test_sharded_dia_matches_unsharded(self):
+        g = 16  # 256 rows over 8 devices
+        A = _laplacian_2d(g)
+        v0 = SimpleRandom(0).random_vec(g * g)
+
+        op = st.SparseSymMatProd.from_full(A)  # auto -> DIA
+        from spectra_tpu.sparse.formats import DiaMatrix
+
+        assert isinstance(op.ell, DiaMatrix)
+        vals_ref, _ = self._run(op, v0)
+
+        mesh = row_mesh(8)
+        op_s, v0_s = shard_problem(op, v0, mesh)
+        vals_s, vecs_s = self._run(op_s, v0_s)
+
+        np.testing.assert_allclose(vals_s, vals_ref, atol=1e-10)
+        resid = np.abs(A @ vecs_s - vecs_s * vals_s[None, :]).max()
+        assert resid < 1e-9
+
+    def test_sharded_dense(self):
+        n = 32 * 8
+        rng = np.random.default_rng(5)
+        A = rng.normal(size=(n, n))
+        A = A + A.T
+        v0 = SimpleRandom(0).random_vec(n)
+        op = st.DenseSymMatProd.create(A)
+        vals_ref, _ = self._run(op, v0)
+
+        mesh = row_mesh(8)
+        op_s, v0_s = shard_problem(op, v0, mesh)
+        vals_s, _ = self._run(op_s, v0_s)
+        np.testing.assert_allclose(vals_s, vals_ref, atol=1e-10)
+
+
+@requires_multidevice
+def test_spmv_sharded_correct():
+    """Sharded DIA/ELL matvec equals the scipy product exactly."""
+    g = 24
+    A = _laplacian_2d(g)
+    x = np.random.default_rng(1).normal(size=g * g)
+    mesh = row_mesh(8)
+    for fmt in ("dia", "ell"):
+        op = st.SparseSymMatProd.from_full(A, format=fmt)
+        op_s, x_s = shard_problem(op, x, mesh)
+        y = np.asarray(jax.jit(op_s.perform_op)(x_s))
+        np.testing.assert_allclose(y, A @ x, atol=1e-12)

@@ -155,3 +155,24 @@ def test_eigenvalue_multiplicity_cycle_laplacian(k, m):
     assert resid <= 1e-9
     w = np.linalg.eigvalsh(A)
     np.testing.assert_allclose(vals, w[-k:], atol=1e-9)
+
+
+def test_restart_chunk_bitwise_identical():
+    """Segmented restarts reproduce the single-shot run exactly."""
+    A = _sym_matrix(300)
+    from spectra_tpu.util.rng import SimpleRandom
+
+    v0 = SimpleRandom(0).random_vec(300)
+    op = st.DenseSymMatProd.create(A)
+    e1 = st.SymEigsSolver(op, nev=6, ncv=12)
+    e1.init(v0)
+    e1.compute(SortRule.LargestMagn)
+    e2 = st.SymEigsSolver(op, nev=6, ncv=12)
+    e2.set_restart_chunk(3)
+    e2.init(v0)
+    e2.compute(SortRule.LargestMagn)
+    assert e1.num_iterations() == e2.num_iterations()
+    np.testing.assert_array_equal(e1.eigenvalues(), e2.eigenvalues())
+    np.testing.assert_array_equal(
+        np.asarray(e1.eigenvectors()), np.asarray(e2.eigenvectors())
+    )
