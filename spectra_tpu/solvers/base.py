@@ -71,12 +71,21 @@ class HermEigsBase:
         reference's SimpleRandom)."""
         if init_resid is None:
             init_resid = SimpleRandom(0).random_vec(self._n, self._dtype)
-        v0 = np.asarray(init_resid, dtype=self._dtype)
-        if v0.shape != (self._n,):
-            raise ValueError(f"initial residual must have shape ({self._n},)")
-        if np.linalg.norm(v0) < np.finfo(np.float64).tiny * 10:
-            raise ValueError("initial residual vector cannot be zero")
-        self._v0 = jnp.asarray(v0)
+        if isinstance(init_resid, jax.Array):
+            # Keep device placement/sharding of an already-placed vector.
+            v0 = init_resid.astype(self._dtype)
+            if v0.shape != (self._n,):
+                raise ValueError(f"initial residual must have shape ({self._n},)")
+            if float(jnp.linalg.norm(v0)) < np.finfo(np.float64).tiny * 10:
+                raise ValueError("initial residual vector cannot be zero")
+            self._v0 = v0
+        else:
+            v0 = np.asarray(init_resid, dtype=self._dtype)
+            if v0.shape != (self._n,):
+                raise ValueError(f"initial residual must have shape ({self._n},)")
+            if np.linalg.norm(v0) < np.finfo(np.float64).tiny * 10:
+                raise ValueError("initial residual vector cannot be zero")
+            self._v0 = jnp.asarray(v0)
         self._info = CompInfo.NotComputed
         self._niter = 0
         self._nops = 0
