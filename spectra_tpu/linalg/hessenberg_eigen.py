@@ -17,11 +17,16 @@ on (reference: GenEigsBase.h:55-56 uses the same exact-conjugacy
 invariant from its own Schur code).
 """
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from spectra_tpu.util import dtypes
+
+from spectra_tpu.util.capabilities import host_callbacks_supported  # noqa: F401
+# (re-exported: earlier revisions defined the probe here)
 
 
 def _host_eig(H):
@@ -29,12 +34,9 @@ def _host_eig(H):
     return w, v
 
 
-def hessenberg_eigen(H):
-    """Eigenvalues and unit-norm eigenvectors of a Hessenberg matrix.
-
-    Returns ``(evals (m,), evecs (m, m))``, both complex; for real H
-    complex-conjugate pairs are exact and adjacent.
-    """
+def hessenberg_eigen_lapack(H):
+    """Host LAPACK bridge via ``pure_callback`` (CPU and
+    callback-capable runtimes)."""
     m = H.shape[0]
     cdtype = dtypes.complex_dtype(H.dtype)
     out = (
@@ -47,3 +49,22 @@ def hessenberg_eigen(H):
         return w.astype(cdtype), v.astype(cdtype)
 
     return jax.pure_callback(cb, out, H)
+
+
+def hessenberg_eigen(H):
+    """Eigenvalues and unit-norm eigenvectors of a Hessenberg matrix.
+
+    Returns ``(evals (m,), evecs (m, m))``, both complex; for real H
+    complex-conjugate pairs are exact and adjacent.
+
+    Backend selection (trace-time): ``SPECTRA_TPU_EIGEN_BACKEND`` =
+    ``lapack`` | ``native`` | ``auto`` (default). ``auto`` uses the
+    host LAPACK bridge when the runtime supports callbacks and the
+    fully on-device Schur pipeline otherwise.
+    """
+    backend = os.environ.get("SPECTRA_TPU_EIGEN_BACKEND", "auto")
+    if backend == "lapack" or (backend == "auto" and host_callbacks_supported()):
+        return hessenberg_eigen_lapack(H)
+    from spectra_tpu.linalg.schur import hessenberg_eigen_native
+
+    return hessenberg_eigen_native(H)

@@ -191,6 +191,191 @@ def hessenberg_schur(H, max_iter=None) -> SchurResult:
     )
 
 
+def complexify_schur(T, U):
+    """Convert a real Schur pair (T quasi-triangular, U orthogonal)
+    into a complex Schur pair (T_c upper triangular, U_c unitary) by
+    rotating each isolated 2x2 block with the unitary whose first
+    column is the block's unit eigenvector — the per-block equivalent
+    of Eigen's ComplexSchur used by the reference
+    (UpperHessenbergEigen.h:329-454)."""
+    m = T.shape[0]
+    cdtype = dtypes.complex_dtype(T.dtype)
+    Tc = T.astype(cdtype)
+    Uc = U.astype(cdtype)
+
+    def body(j, TU):
+        Tc, Uc = TU
+        sub = Tc[j + 1, j]
+
+        def rotate(TU):
+            Tc, Uc = TU
+            a, b = Tc[j, j], Tc[j, j + 1]
+            c_, d = Tc[j + 1, j], Tc[j + 1, j + 1]
+            mean = 0.5 * (a + d)
+            disc = (a - d) * (a - d) + 4.0 * b * c_
+            lam = mean + 0.5 * jnp.sqrt(disc)  # complex sqrt: disc < 0
+            # unit eigenvector; c != 0 so (lam - d, c) is nonzero
+            v0, v1 = lam - d, c_
+            nrm = jnp.sqrt(jnp.abs(v0) ** 2 + jnp.abs(v1) ** 2)
+            v0, v1 = v0 / nrm, v1 / nrm
+            # unitary Q2 = [[v0, -conj(v1)], [v1, conj(v0)]]
+            r0 = jnp.conj(v0) * Tc[j, :] + jnp.conj(v1) * Tc[j + 1, :]
+            r1 = -v1 * Tc[j, :] + v0 * Tc[j + 1, :]
+            Tc = Tc.at[j, :].set(r0).at[j + 1, :].set(r1)
+            c0 = Tc[:, j] * v0 + Tc[:, j + 1] * v1
+            c1 = -Tc[:, j] * jnp.conj(v1) + Tc[:, j + 1] * jnp.conj(v0)
+            Tc = Tc.at[:, j].set(c0).at[:, j + 1].set(c1)
+            u0 = Uc[:, j] * v0 + Uc[:, j + 1] * v1
+            u1 = -Uc[:, j] * jnp.conj(v1) + Uc[:, j + 1] * jnp.conj(v0)
+            Uc = Uc.at[:, j].set(u0).at[:, j + 1].set(u1)
+            Tc = Tc.at[j + 1, j].set(0.0)
+            # The pair's eigenvalues are exactly conjugate (real trace);
+            # enforce it so downstream conjugate-pair tests are exact.
+            Tc = Tc.at[j, j].set(lam).at[j + 1, j + 1].set(jnp.conj(lam))
+            return Tc, Uc
+
+        return jax.lax.cond(sub != 0, rotate, lambda TU: TU, TU)
+
+    Tc, Uc = jax.lax.fori_loop(0, m - 1, body, (Tc, Uc))
+    # Enforce triangularity (rounding fill below the diagonal).
+    r = jnp.arange(m)
+    Tc = jnp.where(r[:, None] <= r[None, :], Tc, 0.0)
+    return Tc, Uc
+
+
+def triangular_eigenvectors(Tc):
+    """Unit-norm eigenvectors of a complex upper triangular matrix by
+    back-substitution (the reference's unit-triangular back-solve,
+    UpperHessenbergEigen.h:53-208 real / :329-454 complex): column k
+    solves (Tc - lambda_k I) y = 0 with y[k] = 1, columns vmapped."""
+    m = Tc.shape[0]
+    lam = jnp.diagonal(Tc)
+    eps = jnp.finfo(dtypes.real_dtype(Tc.dtype)).eps
+    tnorm = jnp.maximum(jnp.max(jnp.abs(Tc)), 1.0)
+
+    def one_vector(k):
+        y0 = jnp.zeros((m,), Tc.dtype).at[k].set(1.0)
+
+        def body(t, y):
+            i = k - 1 - t  # rows k-1 .. 0
+            s = Tc[i, :] @ y  # rows > k contribute 0; y[j>i] known
+            denom = Tc[i, i] - lam[k]
+            small = jnp.abs(denom) < eps * tnorm
+            denom = jnp.where(small, eps * tnorm, denom)
+            val = jnp.where(i >= 0, -s / denom, 0.0)
+            return jnp.where(
+                (jnp.arange(m) == i) & (i >= 0) & (jnp.arange(m) < k), val, y
+            )
+
+        y = jax.lax.fori_loop(0, m - 1, body, y0)
+        return y / jnp.linalg.norm(y)
+
+    return jax.vmap(one_vector, out_axes=1)(jnp.arange(m))
+
+
+class _CCarry(NamedTuple):
+    T: jax.Array
+    U: jax.Array
+    it: jax.Array
+    stall: jax.Array
+    jprev: jax.Array
+
+
+def hessenberg_schur_complex(H, max_iter=None) -> SchurResult:
+    """Complex Schur form of a complex upper Hessenberg matrix via
+    single-shift (Wilkinson) QR sweeps — the role Eigen's ComplexSchur
+    plays for the reference's complex solvers
+    (UpperHessenbergEigen.h:329-454). ``H = U T U^H``, T upper
+    triangular."""
+    H = jnp.asarray(H)
+    m = H.shape[0]
+    if max_iter is None:
+        max_iter = 30 * m
+    eps = jnp.finfo(dtypes.real_dtype(H.dtype)).eps
+
+    from spectra_tpu.linalg.hessenberg import hessenberg_qr
+
+    def deflate(T):
+        d = jnp.diagonal(T)
+        sub = jnp.diagonal(T, offset=-1)
+        small = jnp.abs(sub) <= eps * (jnp.abs(d[:-1]) + jnp.abs(d[1:]))
+        i = jnp.arange(m - 1)
+        return T.at[i + 1, i].set(jnp.where(small, 0.0, sub))
+
+    T0 = deflate(clip_to_hessenberg(H))
+    U0 = jnp.eye(m, dtype=H.dtype)
+    idx = jnp.arange(m - 1)
+
+    def cond(c: _CCarry):
+        return jnp.any(jnp.diagonal(c.T, offset=-1) != 0) & (c.it < max_iter)
+
+    def body(c: _CCarry):
+        T, U = c.T, c.U
+        sub = jnp.diagonal(T, offset=-1)
+        j = jnp.max(jnp.where(sub != 0, idx, -1))
+        j = jnp.maximum(j, 0)
+        a, b = T[j, j], T[j, j + 1]
+        cc, d = T[j + 1, j], T[j + 1, j + 1]
+        # Wilkinson shift: the 2x2 eigenvalue closer to d.
+        mean = 0.5 * (a + d)
+        disc = (a - d) * (a - d) + 4.0 * b * cc
+        root = 0.5 * jnp.sqrt(disc)
+        lam1, lam2 = mean + root, mean - root
+        shift = jnp.where(jnp.abs(lam1 - d) <= jnp.abs(lam2 - d), lam1, lam2)
+        exc = c.stall >= 10
+        shift = jnp.where(
+            exc, (jnp.abs(cc) + jnp.abs(b)).astype(T.dtype) + d, shift
+        )
+        T2, Q = hessenberg_qr(T, shift)
+        T2 = deflate(T2)
+        U2 = U @ Q
+        sub2 = jnp.diagonal(T2, offset=-1)
+        j2 = jnp.max(jnp.where(sub2 != 0, idx, -1)).astype(jnp.int32)
+        stall = jnp.where(j2 == c.jprev, c.stall + 1, jnp.asarray(0, jnp.int32))
+        return _CCarry(T2, U2, c.it + 1, stall, j2)
+
+    out = jax.lax.while_loop(
+        cond,
+        body,
+        _CCarry(
+            T0,
+            U0,
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(-2, jnp.int32),
+        ),
+    )
+    r = jnp.arange(m)
+    T_final = jnp.where(r[:, None] <= r[None, :], out.T, 0.0)
+    return SchurResult(
+        T=T_final,
+        U=out.U,
+        converged=~jnp.any(jnp.diagonal(out.T, offset=-1) != 0),
+        n_iter=out.it,
+    )
+
+
+def hessenberg_eigen_native(H):
+    """Eigenvalues and unit eigenvectors of a Hessenberg matrix through
+    the fully on-device Schur pipeline (no host callbacks): real H ->
+    real Schur -> per-block complexification; complex H -> complex
+    Schur; then triangular back-substitution for eigenvectors.
+
+    Returns ``(evals (m,), evecs (m, m))`` complex, conjugate pairs
+    exact and adjacent for real H."""
+    H = jnp.asarray(H)
+    if dtypes.is_complex(H.dtype):
+        res = hessenberg_schur_complex(H)
+        Tc, Uc = res.T, res.U
+    else:
+        res = hessenberg_schur(H)
+        Tc, Uc = complexify_schur(res.T, res.U)
+    Y = triangular_eigenvectors(Tc)
+    evecs = Uc @ Y
+    evals = jnp.diagonal(Tc)
+    return evals, evecs
+
+
 def schur_eigenvalues(T):
     """Complex eigenvalues from a real quasi-triangular T: 1x1 diagonal
     blocks give real eigenvalues, 2x2 blocks conjugate pairs

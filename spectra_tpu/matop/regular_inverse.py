@@ -53,10 +53,14 @@ class SparseRegularInverse:
         return self.ell.matmat(x)
 
     def solve(self, x):
-        """y = B^{-1} x by conjugate gradients
-        (reference: SparseRegularInverse.h:105-116 uses Eigen CG)."""
+        """y = B^{-1} x by conjugate gradients; a non-converged solve
+        is poisoned to NaN so the driver reports NumericalIssue
+        (reference throws on CG failure,
+        SparseRegularInverse.h:105-116)."""
+        from spectra_tpu.matop.shift_solve import _poison_if_unconverged
+
         eps = dtypes.eps(self.ell.dtype)
         y, _ = jax.scipy.sparse.linalg.cg(
             self.ell.matvec, x, tol=np.sqrt(eps) * 1e-3, maxiter=self.cg_maxiter
         )
-        return y
+        return _poison_if_unconverged(self.ell.matvec, y, x, accept_rel=1e-7)

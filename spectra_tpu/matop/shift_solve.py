@@ -14,8 +14,10 @@ Design notes (SURVEY.md section 7, hard part #1):
   per-iteration hot path stays on-device.
 * Dense general -> partial-pivot LU (``jax.scipy.linalg.lu_factor``),
   the XLA-native equivalent of Eigen's PartialPivLU.
-* Sparse -> two interchangeable backends:
-  - ``method="splu"`` (default): one-time host SuperLU factorization of
+* Sparse -> two interchangeable backends (``method="auto"`` picks
+  SuperLU where the runtime supports host callbacks, the on-device
+  iterative solve otherwise):
+  - ``method="splu"``: one-time host SuperLU factorization of
     ``A - sigma I`` (scipy), with the per-iteration solve bridged into
     the compiled program via ``jax.pure_callback`` — the replicated
     direct-solve analogue of the reference delegating to Eigen's
@@ -203,6 +205,19 @@ class DenseGenComplexShiftSolve:
 # ---------------------------------------------------------------------------
 
 
+def _poison_if_unconverged(mv, y, b, accept_rel=1e-9):
+    """Replace an iterative solve's result with NaN when its relative
+    residual exceeds ``accept_rel``. A silently inaccurate inner solve
+    would otherwise produce plausible-looking but wrong eigenpairs;
+    NaNs propagate to the driver, which reports
+    ``CompInfo.NumericalIssue`` — the loud-failure analogue of the
+    reference throwing on CG non-convergence
+    (SparseRegularInverse.h:114-115)."""
+    bnorm = jnp.linalg.norm(b)
+    resid = jnp.linalg.norm(mv(y) - b) / jnp.maximum(bnorm, 1e-300)
+    return jnp.where(resid <= accept_rel, y, jnp.full_like(y, jnp.nan))
+
+
 class _HostLUSolver:
     """Hashable host-side wrapper around a scipy SuperLU factor."""
 
@@ -266,19 +281,30 @@ class SparseShiftSolveBase:
             )
             mv = self.shifted.matvec
             work_dtype = self.shifted.dtype
-            eps = dtypes.eps(work_dtype)
-            y, _ = solve(
-                mv, x.astype(work_dtype), tol=eps * 10, maxiter=10 * self.n
-            )
+            b = x.astype(work_dtype)
+            y, _ = solve(mv, b, tol=1e-12, maxiter=10 * self.n)
+            y = _poison_if_unconverged(mv, y, b)
         if self.out_real:
             return jnp.real(y).astype(self.dtype)
         return y
+
+
+def _resolve_sparse_method(method: str) -> str:
+    """``"auto"`` -> host SuperLU when the runtime supports callbacks
+    (CPU and standard TPU runtimes), otherwise the fully on-device
+    iterative solve (runtimes without host send/recv)."""
+    if method != "auto":
+        return method
+    from spectra_tpu.linalg.hessenberg_eigen import host_callbacks_supported
+
+    return "splu" if host_callbacks_supported() else "bicgstab"
 
 
 def _build_sparse_shift(csr, sigma, method, out_real=False):
     import scipy.sparse as sps
     import scipy.sparse.linalg as spla
 
+    method = _resolve_sparse_method(method)
     n = csr.shape[0]
     shifted = (csr - sigma * sps.eye(n, dtype=csr.dtype, format="csr")).tocsr()
     if method == "splu":
@@ -307,7 +333,7 @@ class SparseSymShiftSolve:
     """(A - sigma I)^{-1} x for sparse real symmetric A
     (reference: SparseSymShiftSolve.h:51,85-102 uses Eigen SparseLU)."""
 
-    def __init__(self, csr, uplo: str = "L", method: str = "splu"):
+    def __init__(self, csr, uplo: str = "L", method: str = "auto"):
         self._csr = symmetrize_scipy(csr, uplo, conjugate=False)
         self._method = method
 
@@ -322,7 +348,7 @@ class SparseSymShiftSolve:
         return self._csr.shape[1]
 
     @classmethod
-    def create(cls, csr, uplo: str = "L", method: str = "splu"):
+    def create(cls, csr, uplo: str = "L", method: str = "auto"):
         return cls(csr, uplo, method)
 
     def set_shift(self, sigma):
@@ -333,7 +359,7 @@ class SparseGenRealShiftSolve:
     """(A - sigma I)^{-1} x for sparse general real A
     (reference: SparseGenRealShiftSolve.h:49)."""
 
-    def __init__(self, csr, method: str = "splu"):
+    def __init__(self, csr, method: str = "auto"):
         self._csr = csr.tocsr()
         self._method = method
 
@@ -348,7 +374,7 @@ class SparseGenRealShiftSolve:
         return self._csr.shape[1]
 
     @classmethod
-    def create(cls, csr, method: str = "splu"):
+    def create(cls, csr, method: str = "auto"):
         return cls(csr, method)
 
     def set_shift(self, sigma):
@@ -359,7 +385,7 @@ class SparseGenComplexShiftSolve:
     """Re[(A - (sr + si*i) I)^{-1} x] for sparse general real A
     (reference: SparseGenComplexShiftSolve.h:52-56,114)."""
 
-    def __init__(self, csr, method: str = "splu"):
+    def __init__(self, csr, method: str = "auto"):
         self._csr = csr.tocsr()
         self._method = method
 
@@ -374,7 +400,7 @@ class SparseGenComplexShiftSolve:
         return self._csr.shape[1]
 
     @classmethod
-    def create(cls, csr, method: str = "splu"):
+    def create(cls, csr, method: str = "auto"):
         return cls(csr, method)
 
     def set_shift(self, sigmar, sigmai):

@@ -91,11 +91,12 @@ class _IterativeShiftedSolve:
         return self.ell.n_cols
 
     def perform_op(self, x):
-        eps = dtypes.eps(self.ell.dtype)
+        from spectra_tpu.matop.shift_solve import _poison_if_unconverged
+
         y, _ = jax.scipy.sparse.linalg.bicgstab(
-            self.ell.matvec, x, tol=eps * 100, maxiter=self.maxiter
+            self.ell.matvec, x, tol=1e-12, maxiter=self.maxiter
         )
-        return y
+        return _poison_if_unconverged(self.ell.matvec, y, x)
 
 
 class SymShiftInvert:
@@ -154,8 +155,13 @@ class SymShiftInvert:
         return Ad - sigma * Bd
 
     def set_shift(self, sigma):
+        from spectra_tpu.matop.shift_solve import _resolve_sparse_method
+
         shifted = self._shifted_host(sigma)
-        if self._method == "cg":
+        method = self._method
+        if method is None and _is_scipy_sparse(shifted):
+            method = "splu" if _resolve_sparse_method("auto") == "splu" else "cg"
+        if method == "cg":
             import scipy.sparse as sps
 
             if not _is_scipy_sparse(shifted):

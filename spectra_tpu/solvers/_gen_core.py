@@ -143,6 +143,8 @@ def _restart_complex(arnop, state, ritz_val, k_new, ncv: int):
 
 
 class _LoopCarry(NamedTuple):
+    """Resumable iteration state (checkpointable pytree)."""
+
     state: krylov.KrylovState
     ritz_val: jax.Array
     ritz_est: jax.Array
@@ -150,6 +152,78 @@ class _LoopCarry(NamedTuple):
     conv: jax.Array
     nconv: jax.Array
     restarts: jax.Array
+
+
+@functools.partial(jax.jit, static_argnames=("nev", "ncv", "selection"))
+def iram_start(
+    arnop, v0, key, tol, *, nev: int, ncv: int, selection: SortRule
+) -> _LoopCarry:
+    """Initial ncv-step Arnoldi factorization + first Ritz extraction."""
+    state = krylov.init(arnop, v0, ncv, key)
+    state = krylov.factorize_from(arnop, state, 1, "arnoldi")
+    ritz_val, ritz_est, ritz_vec = _retrieve_ritzpair(state.H, selection, nev)
+    conv, nconv = _num_converged(ritz_val, ritz_est, state.beta, tol, nev)
+    return _LoopCarry(
+        state, ritz_val, ritz_est, ritz_vec, conv, nconv, jnp.asarray(0, jnp.int32)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("nev", "ncv", "selection"))
+def iram_restarts(
+    arnop,
+    carry: _LoopCarry,
+    tol,
+    restart_budget,
+    *,
+    nev: int,
+    ncv: int,
+    selection: SortRule,
+) -> _LoopCarry:
+    """Implicit restarts until convergence or the total restart count
+    reaches ``restart_budget`` (segmentable, like the IRLM core)."""
+    complex_mat = dtypes.is_complex(carry.state.V.dtype)
+
+    def cond(c: _LoopCarry):
+        return (c.nconv < nev) & (c.restarts < restart_budget)
+
+    def body(c: _LoopCarry):
+        k_new = _nev_adjusted(c.nconv, c.ritz_val, c.ritz_est, nev, ncv)
+        if complex_mat:
+            state = _restart_complex(arnop, c.state, c.ritz_val, k_new, ncv)
+        else:
+            state = _restart_real(arnop, c.state, c.ritz_val, k_new, ncv)
+        ritz_val, ritz_est, ritz_vec = _retrieve_ritzpair(state.H, selection, nev)
+        conv, nconv = _num_converged(ritz_val, ritz_est, state.beta, tol, nev)
+        return _LoopCarry(
+            state, ritz_val, ritz_est, ritz_vec, conv, nconv, c.restarts + 1
+        )
+
+    return jax.lax.while_loop(cond, body, carry)
+
+
+@functools.partial(jax.jit, static_argnames=("nev", "sorting", "transform"))
+def iram_finalize(
+    carry: _LoopCarry,
+    transform_aux=None,
+    *,
+    nev: int,
+    sorting: SortRule,
+    transform=None,
+) -> IRAMResult:
+    vals = carry.ritz_val[:nev]
+    if transform is not None:
+        vals = transform(vals, transform_aux, carry.ritz_vec, carry.state)
+    ind = argsort(sorting, vals)
+    return IRAMResult(
+        values=vals[ind],
+        vectors_small=carry.ritz_vec[:, ind],
+        conv=carry.conv[ind],
+        nconv=carry.nconv,
+        niter=carry.restarts + 1,
+        nops=carry.state.nops,
+        V=carry.state.V,
+        f=carry.state.f,
+    )
 
 
 @functools.partial(
@@ -170,54 +244,17 @@ def iram_compute(
     sorting: SortRule,
     transform=None,
 ) -> IRAMResult:
-    """Run the full IRAM and return sorted (complex) Ritz output.
+    """Single-program IRAM: start + restarts + finalize in one jit.
 
     ``transform`` (static) maps operator Ritz values nu to original
     eigenvalues lambda before the final sort; it receives
     ``(nu, transform_aux, ritz_vec, state)`` so shift solvers can run
     the extra disambiguation products they need.
     """
-    complex_mat = dtypes.is_complex(v0.dtype)
-
-    state = krylov.init(arnop, v0, ncv, key)
-    state = krylov.factorize_from(arnop, state, 1, "arnoldi")
-    ritz_val, ritz_est, ritz_vec = _retrieve_ritzpair(state.H, selection, nev)
-    conv, nconv = _num_converged(ritz_val, ritz_est, state.beta, tol, nev)
-
-    def cond(c: _LoopCarry):
-        return (c.nconv < nev) & (c.restarts < maxit)
-
-    def body(c: _LoopCarry):
-        k_new = _nev_adjusted(c.nconv, c.ritz_val, c.ritz_est, nev, ncv)
-        if complex_mat:
-            state = _restart_complex(arnop, c.state, c.ritz_val, k_new, ncv)
-        else:
-            state = _restart_real(arnop, c.state, c.ritz_val, k_new, ncv)
-        ritz_val, ritz_est, ritz_vec = _retrieve_ritzpair(state.H, selection, nev)
-        conv, nconv = _num_converged(ritz_val, ritz_est, state.beta, tol, nev)
-        return _LoopCarry(
-            state, ritz_val, ritz_est, ritz_vec, conv, nconv, c.restarts + 1
-        )
-
-    carry = jax.lax.while_loop(
-        cond,
-        body,
-        _LoopCarry(
-            state, ritz_val, ritz_est, ritz_vec, conv, nconv, jnp.asarray(0, jnp.int32)
-        ),
+    carry = iram_start(arnop, v0, key, tol, nev=nev, ncv=ncv, selection=selection)
+    carry = iram_restarts(
+        arnop, carry, tol, maxit, nev=nev, ncv=ncv, selection=selection
     )
-
-    vals = carry.ritz_val[:nev]
-    if transform is not None:
-        vals = transform(vals, transform_aux, carry.ritz_vec, carry.state)
-    ind = argsort(sorting, vals)
-    return IRAMResult(
-        values=vals[ind],
-        vectors_small=carry.ritz_vec[:, ind],
-        conv=carry.conv[ind],
-        nconv=carry.nconv,
-        niter=carry.restarts + 1,
-        nops=carry.state.nops,
-        V=carry.state.V,
-        f=carry.state.f,
+    return iram_finalize(
+        carry, transform_aux, nev=nev, sorting=sorting, transform=transform
     )

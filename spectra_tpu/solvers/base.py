@@ -126,6 +126,7 @@ class HermEigsBase:
                 self._arnop, self._v0, jax.random.PRNGKey(0), tol_arr, **fixed
             )
             budget = 0
+            self._history = []
             while budget < maxit:
                 budget = min(budget + self._restart_chunk, maxit)
                 carry = irlm_restarts(
@@ -135,7 +136,16 @@ class HermEigsBase:
                     jnp.asarray(budget, jnp.int32),
                     **fixed,
                 )
-                nconv, restarts = jax.device_get((carry.nconv, carry.restarts))
+                nconv, restarts, beta = jax.device_get(
+                    (carry.nconv, carry.restarts, carry.state.beta)
+                )
+                self._history.append(
+                    {
+                        "restarts": int(restarts),
+                        "nconv": int(nconv),
+                        "f_norm": float(beta),
+                    }
+                )
                 if int(nconv) >= self._nev or int(restarts) < budget:
                     break
             res = irlm_finalize(
@@ -150,6 +160,10 @@ class HermEigsBase:
         nconv = int(res.nconv)
         self._niter = int(res.niter)
         self._nops = int(res.nops)
+        if not np.all(np.isfinite(res.values)):
+            # NaN poisoning from a failed inner solve, or breakdown.
+            self._info = CompInfo.NumericalIssue
+            return 0
         self._info = (
             CompInfo.Successful if nconv >= self._nev else CompInfo.NotConverging
         )
@@ -167,6 +181,13 @@ class HermEigsBase:
 
     def num_operations(self) -> int:
         return self._nops
+
+    def convergence_history(self) -> list:
+        """Per-segment (restarts, nconv, ||f||) trajectory; populated
+        when running with ``set_restart_chunk`` (observability aid —
+        the reference exposes only the final counters,
+        HermEigsBase.h:401-406)."""
+        return list(getattr(self, "_history", []))
 
     def eigenvalues(self) -> np.ndarray:
         """Converged eigenvalues (real), in the requested sorting order."""

@@ -6,11 +6,18 @@ Counterpart of the reference's GenEigsBase driver shell
 deterministic init, and complex Ritz output accessors.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from spectra_tpu.solvers._gen_core import iram_compute
+from spectra_tpu.solvers._gen_core import (
+    iram_compute,
+    iram_finalize,
+    iram_restarts,
+    iram_start,
+)
 from spectra_tpu.solvers.base import HermEigsBase
 from spectra_tpu.util.compinfo import CompInfo
 from spectra_tpu.util.selection import SortRule
@@ -46,6 +53,7 @@ class GenEigsBase(HermEigsBase):
         self._nops = 0
         self._v0 = None
         self._result = None
+        self._restart_chunk = None
 
     def compute(
         self,
@@ -56,24 +64,118 @@ class GenEigsBase(HermEigsBase):
     ) -> int:
         if self._v0 is None:
             self.init()
-        res = iram_compute(
+        if self._use_host_driver():
+            return self._compute_host(selection, maxit, tol, sorting)
+        tol_arr = jnp.asarray(tol, jnp.finfo(self._dtype).dtype)
+        if self._restart_chunk is None:
+            res = iram_compute(
+                self._arnop,
+                self._v0,
+                jax.random.PRNGKey(0),
+                jnp.asarray(maxit, jnp.int32),
+                tol_arr,
+                self._transform_aux(),
+                nev=self._nev,
+                ncv=self._ncv,
+                selection=selection,
+                sorting=sorting,
+                transform=type(self)._ritz_transform,
+            )
+        else:
+            fixed = dict(nev=self._nev, ncv=self._ncv, selection=selection)
+            carry = iram_start(
+                self._arnop, self._v0, jax.random.PRNGKey(0), tol_arr, **fixed
+            )
+            budget = 0
+            self._history = []
+            while budget < maxit:
+                budget = min(budget + self._restart_chunk, maxit)
+                carry = iram_restarts(
+                    self._arnop, carry, tol_arr, jnp.asarray(budget, jnp.int32), **fixed
+                )
+                nconv, restarts, beta = jax.device_get(
+                    (carry.nconv, carry.restarts, carry.state.beta)
+                )
+                self._history.append(
+                    {
+                        "restarts": int(restarts),
+                        "nconv": int(nconv),
+                        "f_norm": float(beta),
+                    }
+                )
+                if int(nconv) >= self._nev or int(restarts) < budget:
+                    break
+            res = iram_finalize(
+                carry,
+                self._transform_aux(),
+                nev=self._nev,
+                sorting=sorting,
+                transform=type(self)._ritz_transform,
+            )
+        res = jax.tree_util.tree_map(lambda x: np.asarray(x), res)
+        self._result = res
+        nconv = int(res.nconv)
+        self._niter = int(res.niter)
+        self._nops = int(res.nops)
+        if not np.all(np.isfinite(res.values)):
+            self._info = CompInfo.NumericalIssue
+            return 0
+        self._info = (
+            CompInfo.Successful if nconv >= self._nev else CompInfo.NotConverging
+        )
+        return min(self._nev, nconv)
+
+    def _use_host_driver(self) -> bool:
+        """Host-driven loop when the accelerator cannot execute complex
+        arithmetic (see solvers/_gen_host.py); overridable via
+        SPECTRA_TPU_GEN_DRIVER = auto | host | compiled."""
+        mode = os.environ.get("SPECTRA_TPU_GEN_DRIVER", "auto")
+        if mode == "host":
+            return True
+        if mode == "compiled":
+            return False
+        from spectra_tpu.util import capabilities
+        from spectra_tpu.util.capabilities import complex_supported
+
+        # Probe eagerly here, outside any trace: hessenberg_eigen reads
+        # the cached result during tracing of the compiled core.
+        capabilities.resolve()
+
+        if complex_supported():
+            return False
+        if jnp.issubdtype(self._dtype, jnp.complexfloating):
+            raise RuntimeError(
+                "complex matrices are not supported on this accelerator "
+                "(no complex arithmetic); run under the CPU backend, e.g. "
+                "jax.config.update('jax_platforms', 'cpu')"
+            )
+        return True
+
+    def _compute_host(self, selection, maxit, tol, sorting) -> int:
+        from spectra_tpu.solvers._gen_host import iram_compute_host
+
+        aux = self._transform_aux()
+        res = iram_compute_host(
             self._arnop,
             self._v0,
             jax.random.PRNGKey(0),
-            jnp.asarray(maxit, jnp.int32),
-            jnp.asarray(tol, jnp.finfo(self._dtype).dtype),
-            self._transform_aux(),
+            int(maxit),
+            float(tol),
+            None if aux is None else np.asarray(aux),
             nev=self._nev,
             ncv=self._ncv,
             selection=selection,
             sorting=sorting,
             transform=type(self)._ritz_transform,
         )
-        res = jax.tree_util.tree_map(lambda x: np.asarray(x), res)
+        res = jax.tree_util.tree_map(np.asarray, res)
         self._result = res
         nconv = int(res.nconv)
         self._niter = int(res.niter)
         self._nops = int(res.nops)
+        if not np.all(np.isfinite(res.values)):
+            self._info = CompInfo.NumericalIssue
+            return 0
         self._info = (
             CompInfo.Successful if nconv >= self._nev else CompInfo.NotConverging
         )

@@ -37,5 +37,15 @@ class SymEigsShiftSolver(HermEigsBase):
         super().__init__(shifted, nev, ncv)
         self._sigma = float(sigma)
 
+    @classmethod
+    def from_factored(cls, shifted_op, nev: int, ncv: int, sigma: float):
+        """Build around an operator already factorized at ``sigma``
+        (e.g. to reuse one factorization across solves, or to time
+        factorization and iteration separately)."""
+        self = cls.__new__(cls)
+        HermEigsBase.__init__(self, shifted_op, nev, ncv)
+        self._sigma = float(sigma)
+        return self
+
     def _transform_aux(self):
         return jnp.asarray(self._sigma, jnp.finfo(self._dtype).dtype)

@@ -91,3 +91,36 @@ def argsort(selection: SortRule, values, length: int | None = None):
     if selection == SortRule.BothEnds:
         ind = ind[both_ends_permutation(length)]
     return ind
+
+
+def argsort_np(selection: SortRule, values) -> np.ndarray:
+    """Numpy twin of :func:`argsort` for host-driven paths (runtimes
+    where complex arrays cannot touch the accelerator)."""
+    v = np.asarray(values)
+    is_complex = np.iscomplexobj(v)
+    if selection == SortRule.LargestMagn:
+        key = -np.abs(v)
+    elif selection == SortRule.SmallestMagn:
+        key = np.abs(v)
+    elif selection == SortRule.LargestReal:
+        key = -v.real
+    elif selection == SortRule.SmallestReal:
+        key = v.real
+    elif selection == SortRule.LargestImag:
+        key = -np.abs(v.imag)
+    elif selection == SortRule.SmallestImag:
+        key = np.abs(v.imag)
+    elif selection in (SortRule.LargestAlge, SortRule.BothEnds):
+        if is_complex:
+            raise ValueError("algebraic sort rules require real eigenvalues")
+        key = -v
+    elif selection == SortRule.SmallestAlge:
+        if is_complex:
+            raise ValueError("algebraic sort rules require real eigenvalues")
+        key = v
+    else:
+        raise ValueError(f"unsupported selection rule {selection}")
+    ind = np.argsort(key, kind="stable")
+    if selection == SortRule.BothEnds:
+        ind = ind[both_ends_permutation(len(v))]
+    return ind
