@@ -242,9 +242,10 @@ def dia_from_scipy(sp_mat, dtype=None) -> DiaMatrix:
     # scipy aligns data[k] by column index; shift to row alignment:
     # row_data[k, i] = A[i, i+off] = scipy_data[k, i+off].
     rows = np.zeros((len(offsets), n_rows), dtype=data.dtype)
+    width = data.shape[1]  # scipy may store fewer than n_cols columns
     for k, off in enumerate(offsets):
         lo = max(0, -off)
-        hi = min(n_rows, n_cols - off)
+        hi = min(n_rows, n_cols - off, width - off)
         if hi > lo:
             rows[k, lo:hi] = data[k, lo + off : hi + off]
     order = np.argsort(offsets)
