@@ -55,6 +55,56 @@ class HermEigsBase:
         self._v0 = None
         self._result = None
         self._restart_chunk = None
+        self._carry = None
+        self._resume_carry = None
+
+    def save_checkpoint(self, path: str):
+        """Serialize the current iteration state (V, H, f, k + Ritz
+        bookkeeping) to ``path`` (npz). Available when running with
+        ``set_restart_chunk`` — the state snapshots between segments.
+        The reference has no checkpointing; this is the cheap insurance
+        SURVEY.md section 5 recommends for preemptible accelerators."""
+        if self._carry is None:
+            raise RuntimeError(
+                "no iteration state to checkpoint: run compute() with "
+                "set_restart_chunk() first"
+            )
+        leaves = jax.tree_util.tree_leaves(self._carry)
+        np.savez(
+            path, *[np.asarray(leaf) for leaf in leaves], nev=self._nev, ncv=self._ncv
+        )
+
+    def load_checkpoint(self, path: str):
+        """Restore iteration state saved by :meth:`save_checkpoint`;
+        the next ``compute()`` call (with ``set_restart_chunk``)
+        continues from it instead of starting over."""
+        if self._carry is None and self._v0 is None:
+            self.init()
+        with np.load(path) as data:
+            if int(data["nev"]) != self._nev or int(data["ncv"]) != self._ncv:
+                raise ValueError("checkpoint nev/ncv mismatch")
+            names = sorted(
+                (k for k in data.files if k.startswith("arr_")),
+                key=lambda s: int(s[4:]),
+            )
+            arrays = [data[k] for k in names]
+        # Rebuild the carry pytree structure from a template.
+        from spectra_tpu.solvers import _herm_core
+
+        template = _herm_core.irlm_start(
+            self._arnop,
+            self._v0 if self._v0 is not None else jnp.zeros((self._n,), self._dtype),
+            jax.random.PRNGKey(0),
+            jnp.asarray(1e-10, jnp.finfo(self._dtype).dtype),
+            nev=self._nev,
+            ncv=self._ncv,
+            selection=SortRule.LargestMagn,
+            mode=self._mode,
+        )
+        treedef = jax.tree_util.tree_structure(template)
+        self._resume_carry = jax.tree_util.tree_unflatten(
+            treedef, [jnp.asarray(a) for a in arrays]
+        )
 
     def set_restart_chunk(self, chunk: int | None):
         """Segment the restart loop into device executions of at most
@@ -122,9 +172,13 @@ class HermEigsBase:
             fixed = dict(
                 nev=self._nev, ncv=self._ncv, selection=selection, mode=self._mode
             )
-            carry = irlm_start(
-                self._arnop, self._v0, jax.random.PRNGKey(0), tol_arr, **fixed
-            )
+            if self._resume_carry is not None:
+                carry = self._resume_carry
+                self._resume_carry = None
+            else:
+                carry = irlm_start(
+                    self._arnop, self._v0, jax.random.PRNGKey(0), tol_arr, **fixed
+                )
             budget = 0
             self._history = []
             while budget < maxit:
@@ -148,6 +202,7 @@ class HermEigsBase:
                 )
                 if int(nconv) >= self._nev or int(restarts) < budget:
                     break
+            self._carry = carry
             res = irlm_finalize(
                 carry,
                 self._transform_aux(),

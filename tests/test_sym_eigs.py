@@ -176,3 +176,35 @@ def test_restart_chunk_bitwise_identical():
     np.testing.assert_array_equal(
         np.asarray(e1.eigenvectors()), np.asarray(e2.eigenvectors())
     )
+
+
+def test_checkpoint_resume_identical(tmp_path):
+    """An interrupted + resumed run equals the uninterrupted run
+    (SURVEY.md section 5: checkpoint/resume for preemptible chips)."""
+    A = _sym_matrix(300)
+    from spectra_tpu.util.rng import SimpleRandom
+
+    v0 = SimpleRandom(0).random_vec(300)
+    op = st.DenseSymMatProd.create(A)
+
+    ref = st.SymEigsSolver(op, nev=6, ncv=12)
+    ref.set_restart_chunk(5)
+    ref.init(v0)
+    ref.compute(SortRule.LargestMagn)
+
+    part = st.SymEigsSolver(op, nev=6, ncv=12)
+    part.set_restart_chunk(5)
+    part.init(v0)
+    part.compute(SortRule.LargestMagn, maxit=10)
+    assert part.info() == CompInfo.NotConverging
+    path = str(tmp_path / "state.npz")
+    part.save_checkpoint(path)
+
+    res = st.SymEigsSolver(op, nev=6, ncv=12)
+    res.set_restart_chunk(5)
+    res.init(v0)
+    res.load_checkpoint(path)
+    res.compute(SortRule.LargestMagn)
+    assert res.info() == CompInfo.Successful
+    assert res.num_iterations() == ref.num_iterations()
+    np.testing.assert_array_equal(res.eigenvalues(), ref.eigenvalues())
