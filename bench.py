@@ -19,12 +19,35 @@ bench_details.json carries the solver-level configurations:
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 os.environ.setdefault("SPECTRA_TPU_X64", "1")
 
 import numpy as np
 import scipy.sparse as sps
+
+
+def _accelerator_alive(timeout_s: int = 240) -> bool:
+    """Probe the default accelerator in a subprocess: a wedged remote
+    TPU runtime hangs (rather than errors) on first use, which would
+    otherwise stall the whole benchmark."""
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "x = jnp.ones((64, 64));"
+        "print(float((x @ x).sum()))"
+    )
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code],
+            timeout=timeout_s,
+            capture_output=True,
+            text=True,
+        )
+        return out.returncode == 0 and "4096" in out.stdout
+    except subprocess.TimeoutExpired:
+        return False
 
 
 def _laplacian_2d(g):
@@ -125,6 +148,13 @@ def _bench_dense_config():
 
 
 def main():
+    fallback = not _accelerator_alive()
+    if fallback:
+        # Accelerator runtime unreachable: still produce the metric on
+        # CPU (flagged in the details) rather than hanging the driver.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     import jax
 
     from spectra_tpu.util.rng import SimpleRandom
@@ -152,6 +182,7 @@ def main():
         "n": n,
         "nnz": int(nnz),
         "platform": jax.devices()[0].platform,
+        "accelerator_fallback": fallback,
         "spmv_tpu_s": tpu_t,
         "spmv_host_s": host_t,
         "spmv_host_nnz_per_s": host_nnz_s,

@@ -66,6 +66,7 @@ def __getattr__(name):
         "SparseCholesky": "spectra_tpu.matop.cholesky",
         "SparseRegularInverse": "spectra_tpu.matop.regular_inverse",
         "SymShiftInvert": "spectra_tpu.matop.sym_shift_invert",
+        "RealEmbeddedHermMatProd": "spectra_tpu.matop.herm_embed",
         # Solvers
         "SymEigsSolver": "spectra_tpu.solvers.sym_eigs",
         "SymEigsShiftSolver": "spectra_tpu.solvers.sym_eigs_shift",
