@@ -14,7 +14,6 @@ residual, same observable failure mode).
 """
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from spectra_tpu.matop.sparse import SparseSymMatProd

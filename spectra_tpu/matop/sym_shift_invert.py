@@ -29,7 +29,6 @@ from spectra_tpu.matop.shift_solve import (
     _HostLUSolver,
 )
 from spectra_tpu.sparse.formats import ell_from_scipy, symmetrize_scipy
-from spectra_tpu.util import dtypes
 from spectra_tpu.util.pytree import pytree_dataclass
 
 

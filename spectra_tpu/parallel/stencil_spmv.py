@@ -15,8 +15,6 @@ Requires the halo to fit in one neighbor shard (``max|offset| <=
 n/n_devices``), true for any reasonable partition of a banded matrix.
 """
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

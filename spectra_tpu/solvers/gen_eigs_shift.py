@@ -24,7 +24,6 @@ import jax.numpy as jnp
 
 from spectra_tpu.solvers.gen_base import GenEigsBase
 from spectra_tpu.util import dtypes
-from spectra_tpu.util.compinfo import CompInfo
 from spectra_tpu.util.rng import SimpleRandom
 from spectra_tpu.util.selection import SortRule, argsort
 
