@@ -274,37 +274,45 @@ class SparseShiftSolveBase:
             out = jax.ShapeDtypeStruct(x.shape, work_dtype)
             y = jax.pure_callback(self.solver, out, x.astype(work_dtype))
         else:
-            solve = (
-                jax.scipy.sparse.linalg.cg
-                if self.method == "cg"
-                else jax.scipy.sparse.linalg.bicgstab
-            )
             mv = self.shifted.matvec
             work_dtype = self.shifted.dtype
             b = x.astype(work_dtype)
-            y, _ = solve(mv, b, tol=1e-12, maxiter=10 * self.n)
+            if self.method == "minres":
+                from spectra_tpu.linalg.minres import minres
+
+                y, _ = minres(mv, b, rtol=1e-12, maxiter=10 * self.n)
+            else:
+                solve = (
+                    jax.scipy.sparse.linalg.cg
+                    if self.method == "cg"
+                    else jax.scipy.sparse.linalg.bicgstab
+                )
+                y, _ = solve(mv, b, tol=1e-12, maxiter=10 * self.n)
             y = _poison_if_unconverged(mv, y, b)
         if self.out_real:
             return jnp.real(y).astype(self.dtype)
         return y
 
 
-def _resolve_sparse_method(method: str) -> str:
+def _resolve_sparse_method(method: str, symmetric: bool = True) -> str:
     """``"auto"`` -> host SuperLU when the runtime supports callbacks
     (CPU and standard TPU runtimes), otherwise the fully on-device
-    iterative solve (runtimes without host send/recv)."""
+    iterative solve: MINRES for symmetric shifted systems (indefinite-
+    safe), BiCGStab for general ones."""
     if method != "auto":
         return method
-    from spectra_tpu.linalg.hessenberg_eigen import host_callbacks_supported
+    from spectra_tpu.util.capabilities import host_callbacks_supported
 
-    return "splu" if host_callbacks_supported() else "bicgstab"
+    if host_callbacks_supported():
+        return "splu"
+    return "minres" if symmetric else "bicgstab"
 
 
-def _build_sparse_shift(csr, sigma, method, out_real=False):
+def _build_sparse_shift(csr, sigma, method, out_real=False, symmetric=True):
     import scipy.sparse as sps
     import scipy.sparse.linalg as spla
 
-    method = _resolve_sparse_method(method)
+    method = _resolve_sparse_method(method, symmetric)
     n = csr.shape[0]
     shifted = (csr - sigma * sps.eye(n, dtype=csr.dtype, format="csr")).tocsr()
     if method == "splu":
@@ -378,7 +386,9 @@ class SparseGenRealShiftSolve:
         return cls(csr, method)
 
     def set_shift(self, sigma):
-        return _build_sparse_shift(self._csr, sigma, self._method)
+        return _build_sparse_shift(
+            self._csr, sigma, self._method, symmetric=False
+        )
 
 
 class SparseGenComplexShiftSolve:
@@ -407,5 +417,9 @@ class SparseGenComplexShiftSolve:
         cdtype = np.result_type(self._csr.dtype, np.complex64)
         csr_c = self._csr.astype(cdtype)
         return _build_sparse_shift(
-            csr_c, complex(sigmar, sigmai), self._method, out_real=True
+            csr_c,
+            complex(sigmar, sigmai),
+            self._method,
+            out_real=True,
+            symmetric=False,
         )

@@ -90,11 +90,12 @@ class _IterativeShiftedSolve:
         return self.ell.n_cols
 
     def perform_op(self, x):
+        from spectra_tpu.linalg.minres import minres
         from spectra_tpu.matop.shift_solve import _poison_if_unconverged
 
-        y, _ = jax.scipy.sparse.linalg.bicgstab(
-            self.ell.matvec, x, tol=1e-12, maxiter=self.maxiter
-        )
+        # A - sigma B is symmetric indefinite: MINRES is the right
+        # on-device Krylov solver (CG invalid, BiCGStab erratic).
+        y, _ = minres(self.ell.matvec, x, rtol=1e-12, maxiter=self.maxiter)
         return _poison_if_unconverged(self.ell.matvec, y, x)
 
 
