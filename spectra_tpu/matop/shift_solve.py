@@ -183,6 +183,14 @@ class DenseGenComplexShiftSolve:
         return self.mat.shape[1]
 
     def set_shift(self, sigmar, sigmai):
+        from spectra_tpu.util.capabilities import complex_supported
+
+        if not complex_supported():
+            raise RuntimeError(
+                "the complex-shift solve needs complex arithmetic, which "
+                "this accelerator does not support; run under the CPU "
+                "backend (jax.config.update('jax_platforms', 'cpu'))"
+            )
         n = self.mat.shape[0]
         cdtype = dtypes.complex_dtype(self.mat.dtype)
         sigma = jnp.asarray(complex(sigmar, sigmai), cdtype)
@@ -414,6 +422,18 @@ class SparseGenComplexShiftSolve:
         return cls(csr, method)
 
     def set_shift(self, sigmar, sigmai):
+        from spectra_tpu.util.capabilities import (
+            complex_supported,
+            host_callbacks_supported,
+        )
+
+        if not host_callbacks_supported() and not complex_supported():
+            raise RuntimeError(
+                "the sparse complex-shift solve needs either host "
+                "callbacks (SuperLU path) or device complex arithmetic "
+                "(iterative path); this accelerator supports neither — "
+                "run under the CPU backend"
+            )
         cdtype = np.result_type(self._csr.dtype, np.complex64)
         csr_c = self._csr.astype(cdtype)
         return _build_sparse_shift(
