@@ -312,6 +312,12 @@ def _step(arnop, state: KrylovState, i, mode: str) -> KrylovState:
     )
 
 
+def step_once(arnop, state: KrylovState, i, mode: str) -> KrylovState:
+    """Public single factorization step (used by thick restart to build
+    the arrowhead column in full-projection mode)."""
+    return _step(arnop, state, jnp.asarray(i, jnp.int32), mode)
+
+
 def factorize_from(arnop, state: KrylovState, from_k, mode: str) -> KrylovState:
     """Extend the factorization from ``from_k`` steps to the full m.
 

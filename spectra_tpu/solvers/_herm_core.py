@@ -50,16 +50,23 @@ class IRLMResult(NamedTuple):
     f: jax.Array  # (n,) final residual
 
 
-def _retrieve_ritzpair(H, selection: SortRule, nev: int):
+def _retrieve_ritzpair(H, selection: SortRule, nev: int, full_h: bool = False):
     """Ritz values/vectors of the projected problem, wanted-first order.
 
-    H is numerically a real symmetric tridiagonal (possibly stored
-    complex for Hermitian solvers); the eigen-decomposition runs on its
-    real tridiagonal part (reference: HermEigsBase.h:205-224).
+    With implicit restarts H is numerically a real symmetric
+    tridiagonal (possibly stored complex for Hermitian solvers) and the
+    eigen-decomposition runs on its real tridiagonal part
+    (reference: HermEigsBase.h:205-224). With thick restarts H carries
+    the arrowhead coupling, so ``full_h`` decomposes the full real
+    symmetric matrix instead.
     """
-    d = jnp.real(jnp.diagonal(H))
-    e = jnp.real(jnp.diagonal(H, offset=-1))
-    evals, evecs = tridiag_eigen(d, e)
+    if full_h:
+        Hr = jnp.real(H)
+        evals, evecs = jnp.linalg.eigh(0.5 * (Hr + Hr.T))
+    else:
+        d = jnp.real(jnp.diagonal(H))
+        e = jnp.real(jnp.diagonal(H, offset=-1))
+        evals, evecs = tridiag_eigen(d, e)
     ind = argsort(selection, evals)
     ritz_val = evals[ind]
     ritz_est = evecs[-1, :][ind]
@@ -87,6 +94,63 @@ def _nev_adjusted(nconv, ritz_est, nev: int, ncv: int):
     elif ncv > 2:
         nev_new = jnp.where(nev_new == 1, 2, nev_new)
     return jnp.minimum(nev_new, ncv - 1)
+
+
+def _restart_thick(arnop, state, k_new, ncv: int, mode: str, selection: SortRule):
+    """Thick restart (TRLan, Wu & Simon 2000 / Krylov-Schur): collapse
+    the factorization to the k_new wanted Ritz vectors directly.
+
+    A TPU-first alternative to the reference's implicit shifted-QR
+    restart: one replicated eigh of H plus one MXU matmul ``V <- V Y``
+    replace O(ncv) sequential Givens sweeps. The restarted projection
+    matrix is the symmetric arrowhead ``[[diag(theta), s], [s^T, a]]``
+    with coupling ``s = beta * Y[m-1, kept]``; the first step after the
+    restart runs in full-projection (Arnoldi) mode to build the arrow
+    column, after which the three-term Lanczos recurrence resumes
+    (A v_j for j < k has no component along the new basis vectors).
+    Converges in the same restart class as implicit QR; spectra match
+    to solver tolerance, iteration counts may differ slightly.
+    """
+    H = state.H
+    Hreal = jnp.real(H)
+    Hfull = jnp.triu(Hreal) + jnp.triu(Hreal, 1).T
+    evals, Y = jnp.linalg.eigh(Hfull)
+    ind = argsort(selection, evals)
+    # Keep the wanted k_new (mask the rest; keep static shapes).
+    col = jnp.arange(ncv)
+    keep_idx = ind[col]  # full permutation; first k_new are kept
+    Yp = Y[:, keep_idx]
+    theta = evals[keep_idx]
+
+    VY = state.V @ Yp.astype(state.V.dtype)
+    keep_mask = (col < k_new)[None, :]
+    V_new = jnp.where(keep_mask, VY, 0.0)
+    # The arrow coupling s = beta * Y[m-1, kept] is not written here:
+    # the full-projection step below rebuilds the column numerically
+    # (h_j = v_j^H A v_k = s_j analytically), with DGKS correction.
+    H_new = jnp.zeros_like(H)
+    H_new = H_new.at[col, col].set(
+        jnp.where(col < k_new, theta, 0.0).astype(H.dtype)
+    )
+    k_idx = jnp.asarray(k_new, jnp.int32)
+
+    state = krylov.KrylovState(
+        V=V_new,
+        H=H_new,
+        f=state.f,
+        beta=state.beta,
+        k=k_idx,
+        nops=state.nops,
+        key=state.key,
+    )
+    # Full-projection step builds the arrow column exactly (the DGKS
+    # loop corrects H[:, k]); mirror it into the row, then resume the
+    # standard recurrence.
+    state = krylov.step_once(arnop, state, k_idx, "arnoldi")
+    Hc = state.H
+    Hc = Hc.at[k_idx, :].set(jnp.conj(Hc[:, k_idx]))
+    state = state._replace(H=Hc)
+    return krylov.factorize_from(arnop, state, k_idx + 1, mode)
 
 
 def _restart(arnop, state, ritz_val, k_new, nev: int, ncv: int, mode: str):
@@ -139,15 +203,26 @@ class _LoopCarry(NamedTuple):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nev", "ncv", "selection", "mode")
+    jax.jit, static_argnames=("nev", "ncv", "selection", "mode", "restart_method")
 )
 def irlm_start(
-    arnop, v0, key, tol, *, nev: int, ncv: int, selection: SortRule, mode: str
+    arnop,
+    v0,
+    key,
+    tol,
+    *,
+    nev: int,
+    ncv: int,
+    selection: SortRule,
+    mode: str,
+    restart_method: str = "implicit",
 ) -> _LoopCarry:
     """Initial ncv-step factorization + first Ritz extraction."""
     state = krylov.init(arnop, v0, ncv, key)
     state = krylov.factorize_from(arnop, state, 1, mode)
-    ritz_val, ritz_est, ritz_vec = _retrieve_ritzpair(state.H, selection, nev)
+    ritz_val, ritz_est, ritz_vec = _retrieve_ritzpair(
+        state.H, selection, nev, full_h=restart_method == "thick"
+    )
     conv, nconv = _num_converged(ritz_val, ritz_est, state.beta, tol, nev)
     return _LoopCarry(
         state, ritz_val, ritz_est, ritz_vec, conv, nconv, jnp.asarray(0, jnp.int32)
@@ -155,7 +230,7 @@ def irlm_start(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nev", "ncv", "selection", "mode")
+    jax.jit, static_argnames=("nev", "ncv", "selection", "mode", "restart_method")
 )
 def irlm_restarts(
     arnop,
@@ -167,6 +242,7 @@ def irlm_restarts(
     ncv: int,
     selection: SortRule,
     mode: str,
+    restart_method: str = "implicit",
 ) -> _LoopCarry:
     """Run implicit restarts until convergence or until the total
     restart count reaches ``restart_budget`` (dynamic).
@@ -183,8 +259,13 @@ def irlm_restarts(
 
     def body(c: _LoopCarry):
         k_new = _nev_adjusted(c.nconv, c.ritz_est, nev, ncv)
-        state = _restart(arnop, c.state, c.ritz_val, k_new, nev, ncv, mode)
-        ritz_val, ritz_est, ritz_vec = _retrieve_ritzpair(state.H, selection, nev)
+        if restart_method == "thick":
+            state = _restart_thick(arnop, c.state, k_new, ncv, mode, selection)
+        else:
+            state = _restart(arnop, c.state, c.ritz_val, k_new, nev, ncv, mode)
+        ritz_val, ritz_est, ritz_vec = _retrieve_ritzpair(
+            state.H, selection, nev, full_h=restart_method == "thick"
+        )
         conv, nconv = _num_converged(ritz_val, ritz_est, state.beta, tol, nev)
         return _LoopCarry(
             state, ritz_val, ritz_est, ritz_vec, conv, nconv, c.restarts + 1
@@ -221,7 +302,9 @@ def irlm_finalize(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("nev", "ncv", "selection", "sorting", "mode", "transform"),
+    static_argnames=(
+        "nev", "ncv", "selection", "sorting", "mode", "transform", "restart_method",
+    ),
 )
 def irlm_compute(
     arnop,
@@ -237,6 +320,7 @@ def irlm_compute(
     sorting: SortRule,
     mode: str = "lanczos",
     transform=None,
+    restart_method: str = "implicit",
 ) -> IRLMResult:
     """Single-program IRLM: start + restarts + finalize in one jit.
 
@@ -246,10 +330,12 @@ def irlm_compute(
     in ``transform_aux`` (reference: SymEigsShiftSolver.h:163-169).
     """
     carry = irlm_start(
-        arnop, v0, key, tol, nev=nev, ncv=ncv, selection=selection, mode=mode
+        arnop, v0, key, tol, nev=nev, ncv=ncv, selection=selection, mode=mode,
+        restart_method=restart_method,
     )
     carry = irlm_restarts(
-        arnop, carry, tol, maxit, nev=nev, ncv=ncv, selection=selection, mode=mode
+        arnop, carry, tol, maxit, nev=nev, ncv=ncv, selection=selection, mode=mode,
+        restart_method=restart_method,
     )
     return irlm_finalize(
         carry, transform_aux, nev=nev, sorting=sorting, transform=transform

@@ -55,8 +55,19 @@ class HermEigsBase:
         self._v0 = None
         self._result = None
         self._restart_chunk = None
+        self._restart_method = "implicit"
         self._carry = None
         self._resume_carry = None
+
+    def set_restart_method(self, method: str):
+        """``"implicit"`` (default): ARPACK-style shifted-QR restarts,
+        rule-for-rule the reference's behavior. ``"thick"``: thick
+        restart (TRLan/Krylov-Schur) — one replicated eigh + one MXU
+        matmul per restart instead of O(ncv) sequential Givens sweeps;
+        same convergence class, better accelerator latency profile."""
+        if method not in ("implicit", "thick"):
+            raise ValueError("restart method must be 'implicit' or 'thick'")
+        self._restart_method = method
 
     def save_checkpoint(self, path: str):
         """Serialize the current iteration state (V, H, f, k + Ritz
@@ -167,10 +178,15 @@ class HermEigsBase:
                 sorting=sorting,
                 mode=self._mode,
                 transform=type(self)._ritz_transform,
+                restart_method=self._restart_method,
             )
         else:
             fixed = dict(
-                nev=self._nev, ncv=self._ncv, selection=selection, mode=self._mode
+                nev=self._nev,
+                ncv=self._ncv,
+                selection=selection,
+                mode=self._mode,
+                restart_method=self._restart_method,
             )
             if self._resume_carry is not None:
                 carry = self._resume_carry

@@ -208,3 +208,44 @@ def test_checkpoint_resume_identical(tmp_path):
     assert res.info() == CompInfo.Successful
     assert res.num_iterations() == ref.num_iterations()
     np.testing.assert_array_equal(res.eigenvalues(), ref.eigenvalues())
+
+
+def test_thick_restart_matches_implicit():
+    """Thick restart (TRLan) finds the same eigenpairs at the same
+    tolerance as the reference-parity implicit-QR restart."""
+    A = _sym_matrix(400)
+    from spectra_tpu.util.rng import SimpleRandom
+
+    v0 = SimpleRandom(0).random_vec(400)
+    op = st.DenseSymMatProd.create(A)
+    results = {}
+    for meth in ("implicit", "thick"):
+        e = st.SymEigsSolver(op, nev=6, ncv=20)
+        e.set_restart_method(meth)
+        e.init(v0)
+        e.compute(SortRule.LargestMagn)
+        assert e.info() == CompInfo.Successful
+        v = e.eigenvalues()
+        u = np.asarray(e.eigenvectors())
+        assert np.abs(A @ u - u * v[None, :]).max() < 1e-9
+        results[meth] = v
+    np.testing.assert_allclose(
+        results["thick"], results["implicit"], atol=1e-9
+    )
+
+
+def test_thick_restart_smallest_sparse():
+    import scipy.sparse as sps
+
+    g = 14
+    lap1 = sps.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(g, g))
+    A = (sps.kron(sps.eye(g), lap1) + sps.kron(lap1, sps.eye(g))).tocsr()
+    op = st.SparseSymMatProd.from_full(A)
+    e = st.SymEigsSolver(op, nev=5, ncv=24)
+    e.set_restart_method("thick")
+    e.init()
+    e.compute(SortRule.SmallestAlge)
+    assert e.info() == CompInfo.Successful
+    vals = np.sort(e.eigenvalues())
+    true = np.sort(np.linalg.eigvalsh(A.toarray()))[:5]
+    np.testing.assert_allclose(vals, true, atol=1e-9)
