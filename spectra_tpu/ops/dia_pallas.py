@@ -44,15 +44,18 @@ def dia_spmv_pallas(data, offsets, x, *, chunk: int = 32768, interpret: bool = F
     hi = max(0, max(offsets))
     span = lo + hi
     assert span <= chunk, "offsets exceed chunk; raise chunk"
+    assert chunk % 1024 == 0, "chunk must be a multiple of 1024 (TPU tiling)"
 
     n_pad = _round_up(n, chunk)
     grid = (n_pad // chunk,)
 
-    # Padded x covering every shifted window, padded data/y to n_pad.
-    xp = jnp.pad(x, (lo, hi + (n_pad - n)))
-    dp = jnp.pad(data, ((0, 0), (0, n_pad - n)))
+    # Superset window per chunk, aligned to the 1-D VMEM tiling (the
+    # DMA slice shape must be a multiple of 8*128).
+    win = _round_up(chunk + span, 1024)
 
-    win = chunk + span  # superset window per chunk
+    # Padded x covering every shifted (aligned) window.
+    xp = jnp.pad(x, (lo, (n_pad - n) + (win - chunk)))
+    dp = jnp.pad(data, ((0, 0), (0, n_pad - n)))
 
     def kernel(xp_hbm, data_ref, y_ref, xwin, sem):
         i = pl.program_id(0)

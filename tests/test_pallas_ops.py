@@ -23,7 +23,7 @@ def test_dia_spmv_pallas_matches(dtype):
     dia = dia_from_scipy(A, dtype=dtype)
     x = np.random.default_rng(0).normal(size=g * g).astype(dtype)
     y = np.asarray(
-        dia_spmv_pallas(dia.data, dia.offsets, jnp.asarray(x), chunk=256, interpret=True)
+        dia_spmv_pallas(dia.data, dia.offsets, jnp.asarray(x), chunk=1024, interpret=True)
     )
     want = (A @ x.astype(np.float64)).astype(dtype)
     atol = 1e-5 if dtype == np.float32 else 1e-12
@@ -39,6 +39,6 @@ def test_dia_spmv_pallas_unaligned_n():
     dia = dia_from_scipy(diags)
     x = np.random.default_rng(1).normal(size=n)
     y = np.asarray(
-        dia_spmv_pallas(dia.data, dia.offsets, jnp.asarray(x), chunk=256, interpret=True)
+        dia_spmv_pallas(dia.data, dia.offsets, jnp.asarray(x), chunk=1024, interpret=True)
     )
     np.testing.assert_allclose(y, diags @ x, atol=1e-12)

@@ -91,3 +91,45 @@ class TestArgsort:
     def test_alge_rejects_complex(self):
         with pytest.raises(ValueError):
             argsort(SortRule.LargestAlge, np.array([1 + 1j]))
+
+
+class TestArgsortNp:
+    """numpy twin of the jit argsort (host-driven paths)."""
+
+    def test_matches_jax_real(self):
+        from spectra_tpu.util.selection import argsort, argsort_np
+
+        v = np.random.default_rng(0).normal(size=17)
+        for rule in [
+            SortRule.LargestMagn,
+            SortRule.SmallestMagn,
+            SortRule.LargestAlge,
+            SortRule.SmallestAlge,
+            SortRule.BothEnds,
+        ]:
+            np.testing.assert_array_equal(
+                argsort_np(rule, v), np.asarray(argsort(rule, v))
+            )
+
+    def test_matches_jax_complex(self):
+        from spectra_tpu.util.selection import argsort, argsort_np
+
+        rng = np.random.default_rng(1)
+        v = rng.normal(size=11) + 1j * rng.normal(size=11)
+        for rule in [
+            SortRule.LargestMagn,
+            SortRule.SmallestMagn,
+            SortRule.LargestReal,
+            SortRule.LargestImag,
+        ]:
+            np.testing.assert_array_equal(
+                argsort_np(rule, v), np.asarray(argsort(rule, v))
+            )
+
+
+def test_capabilities_on_cpu():
+    from spectra_tpu.util import capabilities
+
+    assert capabilities.host_callbacks_supported() is True
+    assert capabilities.complex_supported() is True
+    assert capabilities.cpu_device().platform == "cpu"
