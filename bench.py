@@ -29,7 +29,7 @@ import numpy as np
 import scipy.sparse as sps
 
 
-def _accelerator_alive(timeout_s: int = 240) -> bool:
+def _accelerator_alive(timeout_s: int = 420) -> bool:
     """Probe the default accelerator in a subprocess: a wedged remote
     TPU runtime hangs (rather than errors) on first use, which would
     otherwise stall the whole benchmark."""
