@@ -84,3 +84,23 @@ class TestLOBPCG:
 
         w = np.sort(scipy.linalg.eigh(A.toarray(), B.toarray(), eigvals_only=True))[:k]
         np.testing.assert_allclose(np.sort(vals), w, atol=1e-6)
+
+
+def test_lobpcg_constraints_deflation():
+    """setConstraints deflates known eigenvectors: the solver finds the
+    next-smallest eigenpairs orthogonal to Y."""
+    import scipy.sparse as sps
+
+    g = 8
+    lap1 = sps.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(g, g))
+    A = (sps.kron(sps.eye(g), lap1) + sps.kron(lap1, sps.eye(g))).tocsr()
+    n = g * g
+    w, V = np.linalg.eigh(A.toarray())
+
+    rng = np.random.default_rng(3)
+    solver = st.LOBPCGSolver(A, rng.normal(size=(n, 2)))
+    solver.set_constraints(V[:, :2])  # deflate the two smallest
+    nconv = solver.compute(maxit=300, tol_div_n=1e-10)
+    assert solver.info() == st.CompInfo.Successful
+    vals = np.sort(solver.eigenvalues())
+    np.testing.assert_allclose(vals, w[2:4], atol=1e-6)

@@ -102,3 +102,18 @@ class TestDavidson:
         solver.set_initial_search_space_size(4)
         solver.compute(st.SortRule.LargestAlge, maxit=100, tol=1e-9)
         assert solver.info() == st.CompInfo.Successful
+
+
+def test_compute_with_guess():
+    """compute_with_guess accepts a caller-provided initial space
+    (reference: JDSymEigsBase.h compute_with_guess)."""
+    A = _diag_dominant(80)
+    op = st.DenseSymMatProd.create(A)
+    solver = st.DavidsonSymEigsSolver(op, nev=3)
+    rng = np.random.default_rng(5)
+    guess = np.linalg.qr(rng.normal(size=(80, 6)))[0]
+    nconv = solver.compute_with_guess(guess, st.SortRule.LargestAlge, 200, 1e-9)
+    assert solver.info() == st.CompInfo.Successful
+    assert nconv == 3
+    w = np.linalg.eigvalsh(A)
+    np.testing.assert_allclose(np.sort(solver.eigenvalues()), w[-3:], atol=1e-7)
