@@ -17,17 +17,21 @@ hand-written communication (the scaling-book recipe).
 """
 
 from spectra_tpu.parallel.mesh import (
+    partition_report,
     row_mesh,
     row_sharded,
     replicated,
     shard_operator,
     shard_problem,
 )
+from spectra_tpu.parallel.stencil_spmv import ShardedStencilMatProd
 
 __all__ = [
+    "partition_report",
     "row_mesh",
     "row_sharded",
     "replicated",
     "shard_operator",
     "shard_problem",
+    "ShardedStencilMatProd",
 ]

@@ -86,3 +86,31 @@ def shard_problem(op, v0, mesh: Mesh):
     op_s = shard_operator(op, mesh)
     v0_s = _put(jax.numpy.asarray(v0), NamedSharding(mesh, P("rows")))
     return op_s, v0_s
+
+
+def partition_report(csr, n_parts: int) -> dict:
+    """Communication-volume analysis for an equal row partition of a
+    scipy CSR matrix (uses the native C++ halo planner).
+
+    Returns per-partition halo sizes (distinct remote x entries each
+    shard reads per SpMV), total halo bytes per SpMV at fp64, the
+    all-gather bytes GSPMD would move instead, and whether the
+    halo-exchange stencil path applies (banded matrix).
+    """
+    from spectra_tpu import native
+    from spectra_tpu.sparse.formats import dia_suitability
+
+    csr = csr.tocsr()
+    n = csr.shape[0]
+    halos = native.rowpart_halo(
+        n, csr.indptr.astype("int64"), csr.indices.astype("int64"), n_parts
+    )
+    item = 8  # fp64 bytes
+    return {
+        "n_parts": n_parts,
+        "rows_per_part": -(-n // n_parts),
+        "halo_per_part": [int(h) for h in halos],
+        "halo_bytes_per_spmv": int(halos.sum()) * item,
+        "allgather_bytes_per_spmv": int(n) * item * n_parts,
+        "stencil_path_applicable": bool(dia_suitability(csr)),
+    }

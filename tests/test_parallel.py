@@ -147,3 +147,15 @@ class TestHaloStencilSpMV:
         np.testing.assert_allclose(
             eigs.eigenvalues(), ref.eigenvalues(), atol=1e-12
         )
+
+
+def test_partition_report():
+    from spectra_tpu.parallel import partition_report
+
+    g = 32
+    A = _laplacian_2d(g)
+    rep = partition_report(A, 4)
+    assert rep["stencil_path_applicable"]
+    assert rep["halo_per_part"][0] == g and rep["halo_per_part"][-1] == g
+    assert all(h == 2 * g for h in rep["halo_per_part"][1:-1])
+    assert rep["halo_bytes_per_spmv"] < rep["allgather_bytes_per_spmv"] / 10
