@@ -148,7 +148,9 @@ def _bench_dense_config():
 
 
 def main():
-    fallback = not _accelerator_alive()
+    fallback = bool(os.environ.get("SPECTRA_TPU_BENCH_FORCE_CPU")) or (
+        not _accelerator_alive()
+    )
     if fallback:
         # Accelerator runtime unreachable: still produce the metric on
         # CPU (flagged in the details) rather than hanging the driver.
@@ -166,7 +168,24 @@ def main():
     v0 = SimpleRandom(0).random_vec(n)
 
     op = st.SparseSymMatProd.from_full(A)  # DIA storage
-    tpu_nnz_s, tpu_t = _bench_spmv_tpu(op, jax.numpy.asarray(v0), nnz)
+    try:
+        tpu_nnz_s, tpu_t = _bench_spmv_tpu(op, jax.numpy.asarray(v0), nnz)
+    except Exception:
+        # Accelerator died mid-measurement: this process's client is
+        # unusable — re-run the whole benchmark on CPU in a subprocess
+        # and relay its (single) output line.
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env={**os.environ, "SPECTRA_TPU_BENCH_FORCE_CPU": "1"},
+            timeout=3000,
+            capture_output=True,
+            text=True,
+        )
+        for line in out.stdout.splitlines():
+            if line.startswith("{"):
+                print(line)
+                return
+        raise
     host_nnz_s, host_t = _bench_spmv_host(A, v0)
 
     result = {
