@@ -45,7 +45,7 @@ def _accelerator_alive(timeout_s: int = 420) -> bool:
             capture_output=True,
             text=True,
         )
-        return out.returncode == 0 and "4096" in out.stdout
+        return out.returncode == 0 and "262144" in out.stdout  # 64^3
     except subprocess.TimeoutExpired:
         return False
 
