@@ -87,3 +87,22 @@ class TestReferenceSizeGrid:
         vals = eigs.eigenvalues()
         vecs = np.asarray(eigs.eigenvectors())
         assert np.abs(A @ vecs - vecs * vals[None, :]).max() < 1e-9
+
+
+@pytest.mark.slow
+class TestReferenceSizeGridGen:
+    """Reference gen sizes (n=1000, k=10, m=30), pytest -m slow."""
+
+    def test_gen_n1000(self):
+        rng = np.random.default_rng(7)
+        n = 1000
+        A = rng.uniform(size=(n, n)) - 0.5
+        op = st.DenseGenMatProd.create(A)
+        eigs = st.GenEigsSolver(op, nev=10, ncv=30)
+        eigs.init()
+        nconv = eigs.compute(st.SortRule.LargestMagn)
+        assert eigs.info() == st.CompInfo.Successful
+        assert nconv == 10
+        vals = eigs.eigenvalues()
+        vecs = np.asarray(eigs.eigenvectors())
+        assert np.abs(A @ vecs - vecs * vals[None, :]).max() < 1e-9
