@@ -39,7 +39,9 @@ def minres(matvec, b, rtol=1e-12, maxiter=None):
     """
     n = b.shape[0]
     if maxiter is None:
-        maxiter = 10 * n
+        # Practical cap: an inner solve that needs more than this is a
+        # failure to surface (NaN-poisoning upstream), not to grind out.
+        maxiter = min(10 * n, 20000)
     dtype = b.dtype
 
     beta1 = jnp.linalg.norm(b)

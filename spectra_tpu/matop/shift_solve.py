@@ -288,14 +288,14 @@ class SparseShiftSolveBase:
             if self.method == "minres":
                 from spectra_tpu.linalg.minres import minres
 
-                y, _ = minres(mv, b, rtol=1e-12, maxiter=10 * self.n)
+                y, _ = minres(mv, b, rtol=1e-12, maxiter=min(10 * self.n, 20000))
             else:
                 solve = (
                     jax.scipy.sparse.linalg.cg
                     if self.method == "cg"
                     else jax.scipy.sparse.linalg.bicgstab
                 )
-                y, _ = solve(mv, b, tol=1e-12, maxiter=10 * self.n)
+                y, _ = solve(mv, b, tol=1e-12, maxiter=min(10 * self.n, 20000))
             y = _poison_if_unconverged(mv, y, b)
         if self.out_real:
             return jnp.real(y).astype(self.dtype)

@@ -95,7 +95,9 @@ class _IterativeShiftedSolve:
 
         # A - sigma B is symmetric indefinite: MINRES is the right
         # on-device Krylov solver (CG invalid, BiCGStab erratic).
-        y, _ = minres(self.ell.matvec, x, rtol=1e-12, maxiter=self.maxiter)
+        y, _ = minres(
+            self.ell.matvec, x, rtol=1e-12, maxiter=min(self.maxiter, 20000)
+        )
         return _poison_if_unconverged(self.ell.matvec, y, x)
 
 
