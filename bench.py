@@ -118,6 +118,40 @@ def _solve_arpack_shift_invert(A, k, m, v0, sigma=0.0):
     }
 
 
+def _bench_chebyshev(A, v0):
+    """Config #2 as literally specified (k=10 LARGEST of the 1M
+    Laplacian) via the Chebyshev-filtered solver — the configuration
+    authentic ARPACK cannot converge (0/10 in 301 restarts)."""
+    import spectra_tpu as st
+    from spectra_tpu.solvers.cheb_sym_eigs import ChebSymEigsSolver
+
+    g = 1000
+    op = st.SparseSymMatProd.from_full(A)
+    e = ChebSymEigsSolver(
+        op, nev=10, ncv=30, which="largest", degree=120, cut_fraction=0.005
+    )
+    e.set_restart_chunk(10)
+    e.init(v0)
+    t0 = time.perf_counter()
+    nconv = e.compute(maxit=60)
+    dt = time.perf_counter() - t0
+    vals = np.asarray(e.eigenvalues())
+    i = np.arange(1, g + 1)
+    mu = 4 * np.sin(np.pi * i / (2 * (g + 1))) ** 2
+    lam = np.sort((mu[:, None] + mu[None, :]).ravel())
+    return {
+        "wall_s": dt,
+        "nconv": int(nconv),
+        "restarts": e.num_iterations(),
+        "filtered_matvecs": e.num_operations(),
+        "eval_err_vs_analytic": float(np.abs(np.sort(vals) - lam[-len(vals):]).max())
+        if len(vals)
+        else None,
+        "arpack_comparison": "0/10 converged in 301 restarts (ncv=30); "
+        "4/10 in 61 restarts at ncv=100 (420 s)",
+    }
+
+
 def _bench_dense_config():
     import spectra_tpu as st
     from spectra_tpu.util.rng import SimpleRandom
@@ -227,6 +261,10 @@ def main():
         details["dense_n1000_k3"] = _bench_dense_config()
     except Exception as err:
         details["dense_n1000_k3"] = {"error": repr(err)}
+    try:
+        details["chebyshev_1M_k10_largest"] = _bench_chebyshev(A, v0)
+    except Exception as err:
+        details["chebyshev_1M_k10_largest"] = {"error": repr(err)}
 
     with open(os.path.join(os.path.dirname(__file__), "bench_details.json"), "w") as f:
         json.dump(details, f, indent=2)

@@ -70,6 +70,7 @@ def __getattr__(name):
         # Solvers
         "SymEigsSolver": "spectra_tpu.solvers.sym_eigs",
         "SymEigsShiftSolver": "spectra_tpu.solvers.sym_eigs_shift",
+        "ChebSymEigsSolver": "spectra_tpu.solvers.cheb_sym_eigs",
         "HermEigsSolver": "spectra_tpu.solvers.herm_eigs",
         "GenEigsSolver": "spectra_tpu.solvers.gen_eigs",
         "GenEigsRealShiftSolver": "spectra_tpu.solvers.gen_eigs_shift",
