@@ -2,9 +2,9 @@
 
 The XLA lowering of :meth:`DiaMatrix.matvec` re-reads the x vector once
 per diagonal from HBM (d shifted windows). This kernel halves the HBM
-traffic by loading one *contiguous superset window* of x per output
-chunk into VMEM — covering all diagonal shifts at once — and issuing
-the d shifted multiply-adds from VMEM:
+traffic by reading one *contiguous superset window* of x per output
+chunk — covering all diagonal shifts at once — and issuing the d
+shifted multiply-adds from VMEM:
 
     HBM traffic / chunk:  d*C (data) + (C + span) (x) + C (y)
     vs XLA's:             d*C (data) + d*C (x) + C (y)
@@ -12,9 +12,16 @@ the d shifted multiply-adds from VMEM:
 For the 5-point Laplacian (d=5) that is a ~1.6x traffic reduction; the
 kernel is bandwidth-bound so throughput scales accordingly.
 
-The kernel is dtype-generic but intended for f32 (TPU fp64 is emulated
-and the fp64 path stays on XLA); offsets must be small relative to the
-chunk (|off| <= chunk, true for any banded matrix worth DIA).
+The overlapping window is expressed with an element-indexed BlockSpec
+(windows of consecutive grid steps overlap by ``span`` elements — a
+read-only input, so overlap is safe); all shifted reads are then
+static VMEM slices. Intended for f32 (TPU fp64 is emulated and stays
+on XLA; the f64 compiled path is rejected by some Mosaic versions);
+offsets must satisfy ``max|offset| <= chunk``.
+
+Validated on a v5e: bitwise agreement with the XLA lowering at 1M rows
+and 8.15 vs 8.34 Gnnz/s f32 through a remote tunnel (both ends
+dispatch-limited there).
 """
 
 import functools
@@ -23,6 +30,11 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+try:  # element-indexed block dims (newer pallas)
+    from jax._src.pallas.core import Element as _Element
+except ImportError:  # pragma: no cover
+    _Element = None
 
 
 def _round_up(x, m):
@@ -37,7 +49,7 @@ def dia_spmv_pallas(data, offsets, x, *, chunk: int = 32768, interpret: bool = F
       data: (d, n) diagonal values, row-aligned.
       offsets: static tuple of ints, ascending.
       x: (n,) input vector.
-      chunk: rows per grid step (multiple of 128).
+      chunk: rows per grid step (multiple of 1024).
     """
     d, n = data.shape
     lo = max(0, -min(offsets))
@@ -45,45 +57,45 @@ def dia_spmv_pallas(data, offsets, x, *, chunk: int = 32768, interpret: bool = F
     span = lo + hi
     assert span <= chunk, "offsets exceed chunk; raise chunk"
     assert chunk % 1024 == 0, "chunk must be a multiple of 1024 (TPU tiling)"
+    if _Element is None:
+        raise NotImplementedError("this jax version lacks element-indexed blocks")
 
     n_pad = _round_up(n, chunk)
     grid = (n_pad // chunk,)
-
-    # Superset window per chunk, aligned to the 1-D VMEM tiling (the
-    # DMA slice shape must be a multiple of 8*128).
+    # Window aligned to the 1-D VMEM tiling.
     win = _round_up(chunk + span, 1024)
 
-    # Padded x covering every shifted (aligned) window.
     xp = jnp.pad(x, (lo, (n_pad - n) + (win - chunk)))
     dp = jnp.pad(data, ((0, 0), (0, n_pad - n)))
 
-    def kernel(xp_hbm, data_ref, y_ref, xwin, sem):
-        i = pl.program_id(0)
-        # One DMA for the whole shifted-window superset of this chunk.
-        cp = pltpu.make_async_copy(
-            xp_hbm.at[pl.ds(i * chunk, win)], xwin, sem
-        )
-        cp.start()
-        cp.wait()
-        acc = jnp.zeros((chunk,), data_ref.dtype)
-        for k, off in enumerate(offsets):
-            # window position: x[i*chunk + off + lo + j] = xwin[off + lo + j]
-            acc = acc + data_ref[k, :] * xwin[pl.ds(lo + off, chunk)]
+    def kernel(xwin_ref, data_ref, y_ref):
+        acc = data_ref[0, :] * xwin_ref[lo + offsets[0] : lo + offsets[0] + chunk]
+        for k, off in enumerate(offsets[1:], start=1):
+            acc = acc + data_ref[k, :] * xwin_ref[lo + off : lo + off + chunk]
         y_ref[:] = acc
 
     y = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # xp stays in HBM
-            pl.BlockSpec((d, chunk), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (_Element(win),),
+                # EVERY index-map output must be explicitly i32: under
+                # jax_enable_x64 a bare `i` or literal 0 lowers as i64,
+                # which Mosaic fails to legalize ("func.return i64").
+                lambda i: (jnp.int32(i) * jnp.int32(chunk),),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (d, chunk),
+                lambda i: (jnp.int32(0), jnp.int32(i)),
+                memory_space=pltpu.VMEM,
+            ),
         ],
-        out_specs=pl.BlockSpec((chunk,), lambda i: (i,), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (chunk,), lambda i: (jnp.int32(i),), memory_space=pltpu.VMEM
+        ),
         out_shape=jax.ShapeDtypeStruct((n_pad,), data.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((win,), data.dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
         interpret=interpret,
     )(xp, dp)
     return y[:n]
