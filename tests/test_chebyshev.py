@@ -88,3 +88,34 @@ class TestChebSolver:
         e.compute(sorting=st.SortRule.SmallestAlge)
         assert e.info() == st.CompInfo.Successful
         np.testing.assert_allclose(np.sort(e.eigenvalues()), lam[:k], atol=1e-10)
+
+
+@pytest.mark.skipif(
+    __import__("jax").device_count() < 8, reason="needs 8 virtual devices"
+)
+def test_chebyshev_over_sharded_halo_op():
+    """Full composition: Chebyshev filter x halo-exchange sharded
+    stencil operator x 8-device mesh."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from spectra_tpu.parallel import row_mesh, ShardedStencilMatProd
+    from spectra_tpu.sparse import dia_from_scipy
+    from spectra_tpu.util.rng import SimpleRandom
+
+    g = 40
+    A = _laplacian(g)
+    lam = _analytic(g)
+    mesh = row_mesh(8)
+    op = ShardedStencilMatProd.create(dia_from_scipy(A), mesh)
+    v0 = jax.device_put(
+        jax.numpy.asarray(SimpleRandom(0).random_vec(g * g)),
+        NamedSharding(mesh, P("rows")),
+    )
+    e = ChebSymEigsSolver(op, nev=6, ncv=24, which="largest", degree=40,
+                          cut_fraction=0.02)
+    e.init(v0)
+    nconv = e.compute()
+    assert e.info() == st.CompInfo.Successful
+    assert nconv == 6
+    np.testing.assert_allclose(np.sort(e.eigenvalues()), lam[-6:], atol=1e-10)
