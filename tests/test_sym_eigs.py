@@ -249,3 +249,32 @@ def test_thick_restart_smallest_sparse():
     vals = np.sort(e.eigenvalues())
     true = np.sort(np.linalg.eigvalsh(A.toarray()))[:5]
     np.testing.assert_allclose(vals, true, atol=1e-9)
+
+
+def test_recompute_with_different_selection():
+    """Re-running compute() on the same solver object with another
+    selection works (state resets through init/result overwrite)."""
+    A = _sym_matrix(120)
+    op = st.DenseSymMatProd.create(A)
+    eigs = st.SymEigsSolver(op, nev=4, ncv=16)
+    eigs.init()
+    eigs.compute(SortRule.LargestAlge)
+    top = eigs.eigenvalues().copy()
+    eigs.init()
+    eigs.compute(SortRule.SmallestAlge, sorting=SortRule.SmallestAlge)
+    bottom = eigs.eigenvalues()
+    w = np.linalg.eigvalsh(A)
+    np.testing.assert_allclose(np.sort(top), w[-4:], atol=1e-9)
+    np.testing.assert_allclose(np.sort(bottom), w[:4], atol=1e-9)
+
+
+def test_eigenvectors_nvec_subset():
+    A = _sym_matrix(100)
+    op = st.DenseSymMatProd.create(A)
+    eigs = st.SymEigsSolver(op, nev=5, ncv=20)
+    eigs.init()
+    eigs.compute(SortRule.LargestMagn)
+    full = np.asarray(eigs.eigenvectors())
+    two = np.asarray(eigs.eigenvectors(2))
+    assert two.shape == (100, 2)
+    np.testing.assert_array_equal(two, full[:, :2])
