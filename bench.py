@@ -130,7 +130,10 @@ def _bench_chebyshev(A, v0):
     e = ChebSymEigsSolver(
         op, nev=10, ncv=30, which="largest", degree=120, cut_fraction=0.005
     )
-    e.set_restart_chunk(10)
+    # Small chunks keep each device execution ~50 s (one restart is
+    # ~30 x degree matvecs); longer single executions can trip remote
+    # runtime watchdogs at this scale.
+    e.set_restart_chunk(3)
     e.init(v0)
     t0 = time.perf_counter()
     nconv = e.compute(maxit=60)
