@@ -77,6 +77,19 @@ def main():
     print(f"shift-invert: {e4.info().name} resid={np.abs(S@u4-u4*v4[None,:]).max():.2e}",
           flush=True)
 
+    # 4b. thick restart (TRLan) on device
+    e5 = st.SymEigsSolver(op, nev=4, ncv=16)
+    e5.set_restart_method("thick")
+    e5.init()
+    e5.compute(st.SortRule.LargestMagn)
+    v5, u5 = e5.eigenvalues(), np.asarray(e5.eigenvectors())
+    lap_np = L.toarray() if hasattr(L, "toarray") else L
+    print(
+        f"thick restart: {e5.info().name} "
+        f"resid={np.abs(lap_np@u5-u5*v5[None,:]).max():.2e}",
+        flush=True,
+    )
+
     # 5. Pallas DIA kernel (compiled) vs XLA matvec
     from spectra_tpu.ops import dia_spmv_pallas
     from spectra_tpu.sparse import dia_from_scipy
