@@ -74,8 +74,15 @@ class ChebSymEigsSolver(HermEigsBase):
         tol: float = 1e-10,
         sorting: SortRule = SortRule.LargestAlge,
     ) -> int:
-        # The filter amplifies the wanted end to the largest-magnitude
-        # positions of p(A)'s spectrum regardless of `which`.
+        """Run the filtered iteration.
+
+        ``selection`` is accepted for driver-API compatibility but has
+        no effect: the target end of the spectrum is fixed by ``which``
+        at construction, and the filter maps it onto the
+        largest-magnitude eigenvalues of p(A) internally. ``sorting``
+        orders the returned (Rayleigh-quotient) eigenvalues.
+        """
+        del selection
         nconv = super().compute(SortRule.LargestMagn, maxit, tol, SortRule.LargestMagn)
         self._recover_eigenvalues(sorting)
         return nconv
