@@ -23,3 +23,20 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 import spectra_tpu  # noqa: E402,F401  (enables x64 before any array op)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _drop_compiled_executables():
+    """Release compiled executables between test modules.
+
+    The full suite compiles many hundreds of distinct XLA programs in
+    one process; holding all of them live eventually crashes the CPU
+    backend's JIT inside ``backend_compile_and_load`` (native segfault,
+    deterministic at ~200 tests in). Dropping the jit caches at module
+    boundaries keeps the live-executable count bounded; modules re-pay
+    compile time for shared kernels, which is acceptable.
+    """
+    yield
+    jax.clear_caches()
