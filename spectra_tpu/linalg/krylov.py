@@ -340,6 +340,39 @@ def factorize_from(arnop, state: KrylovState, from_k, mode: str) -> KrylovState:
     return state._replace(k=jnp.asarray(m, jnp.int32))
 
 
+def truncate_schur(arnop, state: KrylovState, U, T_new, k_new) -> KrylovState:
+    """Krylov-Schur truncation: V <- V U (first ``k_new`` columns kept),
+    H <- leading k x k block of the ordered (quasi-triangular) T, with
+    the residual f left UNCHANGED.
+
+    Unlike :func:`compress` (implicit restart), rotating into an ordered
+    Schur basis leaves the residual vector invariant:
+    ``A (V U_k) = (V U_k) T_k + f (e_m^T U_k)`` — the general spike row
+    ``e_m^T U_k`` replaces the Arnoldi ``beta e_k^T`` coupling and is
+    written into H's row ``k_new`` by the caller after re-expansion
+    (factorize_from's first step overwrites ``H[k, k-1]``, so the row
+    must be set afterwards). Stewart's Krylov-Schur restart; no
+    reference counterpart (Spectra restarts only via shifted-QR sweeps,
+    include/Spectra/GenEigsBase.h:44-140).
+    """
+    V, _, f, beta, _, nops, key = state
+    m = V.shape[1]
+    VU = V @ U.astype(V.dtype)
+    col = jnp.arange(m)
+    V_new = jnp.where((col < k_new)[None, :], VU, 0.0)
+    keep = (col[:, None] < k_new) & (col[None, :] < k_new)
+    H_masked = jnp.where(keep, T_new.astype(V.dtype), 0.0)
+    return KrylovState(
+        V=V_new,
+        H=H_masked,
+        f=f,
+        beta=beta,
+        k=jnp.asarray(k_new, jnp.int32),
+        nops=nops,
+        key=key,
+    )
+
+
 def compress(arnop, state: KrylovState, Q, H_new, k_new) -> KrylovState:
     """Apply the restart rotation: V <- V Q (truncated to k columns),
     H <- H_new, f <- f * Q[m-1, k-1] + (VQ)[:, k] * H_new[k, k-1].

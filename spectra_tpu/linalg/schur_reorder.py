@@ -46,37 +46,62 @@ def _block_starts(T, tol_scale=None):
 def _swap_adjacent(T, U, i, p, q):
     """Swap the adjacent blocks at (i, p) and (i+p, q) in place.
 
-    Returns True on success, False if the swap was rejected
-    (ill-conditioned: nearly equal spectra)."""
+    Returns True on success, False if the swap was rejected (nearly
+    singular Sylvester system / post-swap residual too large — the
+    nearly-equal-spectra case LAPACK's dtrexc also rejects).
+
+    Hot path of every Krylov-Schur restart (~15 swaps per restart):
+    the <= 4x4 Kronecker system is assembled by broadcasting and the
+    orthogonal factor built from 1-2 Householder reflectors directly —
+    no np.kron / np.linalg.qr call overhead.
+    """
     j = i + p
-    A11 = T[i:j, i:j].copy()
-    A12 = T[i:j, j : j + q].copy()
-    A22 = T[j : j + q, j : j + q].copy()
+    A11 = T[i:j, i:j]
+    A12 = T[i:j, j : j + q]
+    A22 = T[j : j + q, j : j + q]
 
     # Solve A11 X - X A22 = gamma A12 via the Kronecker form
     # (I_q (x) A11 - A22^T (x) I_p) vec(X) = gamma vec(A12),
-    # column-major vec.
-    K = np.kron(np.eye(q), A11) - np.kron(A22.T, np.eye(p))
+    # column-major vec. kron(I,A)/kron(A,I) assembled by broadcasting.
+    pq = p * q
+    Ip = np.eye(p)
+    Iq = np.eye(q)
+    K = (Iq[:, None, :, None] * A11[None, :, None, :]).reshape(pq, pq) - (
+        A22.T[:, None, :, None] * Ip[None, :, None, :]
+    ).reshape(pq, pq)
     rhs = A12.flatten(order="F")
     scale = max(np.abs(rhs).max(), 1.0)
+    gamma = 1.0
     try:
-        cond = np.linalg.cond(K)
+        x = np.linalg.solve(K, rhs)
     except np.linalg.LinAlgError:
         return False
-    if not np.isfinite(cond) or cond > 1.0 / (np.finfo(T.dtype).eps * 1e-2):
-        return False
-    gamma = 1.0
-    x = np.linalg.solve(K, gamma * rhs)
-    # Rescale if the solution is huge (overflow guard, LAPACK-style).
     xmax = np.abs(x).max() if x.size else 0.0
+    if not np.isfinite(xmax):
+        return False
+    # Rescale if the solution is huge (overflow guard, LAPACK-style).
     if xmax > 1e8 * scale:
         gamma = 1e8 * scale / xmax
         x = x * gamma
     X = x.reshape((p, q), order="F")
 
-    W, _ = np.linalg.qr(
-        np.vstack([-X, gamma * np.eye(q)]), mode="complete"
-    )  # (p+q, p+q)
+    # Orthonormal basis of [[-X], [gamma I_q]]'s column space, completed
+    # to (p+q, p+q): q Householder reflectors applied to I.
+    M = np.vstack([-X, gamma * Iq])
+    W = np.eye(p + q)
+    for c in range(q):
+        v = M[c:, c].copy()
+        alpha = np.sqrt(v @ v)
+        if alpha == 0.0:
+            continue
+        if v[0] >= 0:
+            alpha = -alpha
+        v[0] -= alpha
+        vnorm2 = v @ v
+        if vnorm2 == 0.0:
+            continue
+        M[c:, c:] -= np.outer(v, (2.0 / vnorm2) * (v @ M[c:, c:]))
+        W[:, c:] -= np.outer(W[:, c:] @ v, (2.0 / vnorm2) * v)
 
     w = p + q
     win = slice(i, i + w)

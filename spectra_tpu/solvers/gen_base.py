@@ -54,6 +54,21 @@ class GenEigsBase(HermEigsBase):
         self._v0 = None
         self._result = None
         self._restart_chunk = None
+        self._restart_method = "implicit"
+
+    def set_restart_method(self, method: str):
+        """``"implicit"`` (default): ARPACK-style shifted-QR restarts,
+        rule-for-rule the reference's behavior (GenEigsBase.h:44-140).
+        ``"krylov_schur"``: Stewart's direct restart — ordered real
+        Schur of the Rayleigh matrix + basis truncation (see
+        :mod:`spectra_tpu.solvers._gen_ks`); equivalent convergence
+        with exact shifts, one host Schur + one GEMM per restart
+        instead of O(ncv) sequential QR sweeps. Real dtypes only."""
+        if method not in ("implicit", "krylov_schur"):
+            raise ValueError(
+                "restart method must be 'implicit' or 'krylov_schur'"
+            )
+        self._restart_method = method
 
     def compute(
         self,
@@ -64,6 +79,8 @@ class GenEigsBase(HermEigsBase):
     ) -> int:
         if self._v0 is None:
             self.init()
+        if self._restart_method == "krylov_schur":
+            return self._compute_ks(selection, maxit, tol, sorting)
         if self._use_host_driver():
             return self._compute_host(selection, maxit, tol, sorting)
         tol_arr = jnp.asarray(tol, jnp.finfo(self._dtype).dtype)
@@ -151,23 +168,36 @@ class GenEigsBase(HermEigsBase):
             )
         return True
 
-    def _compute_host(self, selection, maxit, tol, sorting) -> int:
-        from spectra_tpu.solvers._gen_host import iram_compute_host
+    def _compute_ks(self, selection, maxit, tol, sorting) -> int:
+        from spectra_tpu.solvers._gen_ks import iram_compute_ks
 
-        aux = self._transform_aux()
-        res = iram_compute_host(
-            self._arnop,
-            self._v0,
-            jax.random.PRNGKey(0),
-            int(maxit),
-            float(tol),
-            None if aux is None else np.asarray(aux),
-            nev=self._nev,
-            ncv=self._ncv,
-            selection=selection,
-            sorting=sorting,
-            transform=type(self)._ritz_transform,
+        if jnp.issubdtype(self._dtype, jnp.complexfloating):
+            raise ValueError(
+                "krylov_schur restarting is implemented for real "
+                "matrices; use set_restart_method('implicit') for "
+                "complex dtypes"
+            )
+        return self._finish_host_result(
+            iram_compute_ks(
+                self._arnop,
+                self._v0,
+                jax.random.PRNGKey(0),
+                int(maxit),
+                float(tol),
+                self._host_aux(),
+                nev=self._nev,
+                ncv=self._ncv,
+                selection=selection,
+                sorting=sorting,
+                transform=type(self)._ritz_transform,
+            )
         )
+
+    def _host_aux(self):
+        aux = self._transform_aux()
+        return None if aux is None else np.asarray(aux)
+
+    def _finish_host_result(self, res) -> int:
         res = jax.tree_util.tree_map(np.asarray, res)
         self._result = res
         nconv = int(res.nconv)
@@ -180,6 +210,25 @@ class GenEigsBase(HermEigsBase):
             CompInfo.Successful if nconv >= self._nev else CompInfo.NotConverging
         )
         return min(self._nev, nconv)
+
+    def _compute_host(self, selection, maxit, tol, sorting) -> int:
+        from spectra_tpu.solvers._gen_host import iram_compute_host
+
+        return self._finish_host_result(
+            iram_compute_host(
+                self._arnop,
+                self._v0,
+                jax.random.PRNGKey(0),
+                int(maxit),
+                float(tol),
+                self._host_aux(),
+                nev=self._nev,
+                ncv=self._ncv,
+                selection=selection,
+                sorting=sorting,
+                transform=type(self)._ritz_transform,
+            )
+        )
 
     def eigenvalues(self) -> np.ndarray:
         """Converged eigenvalues (complex), in sorted order."""

@@ -93,34 +93,39 @@ def argsort(selection: SortRule, values, length: int | None = None):
     return ind
 
 
+def sort_key_np(selection: SortRule, values) -> np.ndarray:
+    """Numpy twin of :func:`sort_target`: ascending-sort key, smaller ==
+    more wanted (reference: Util/SelectionRule.h:68-185)."""
+    v = np.asarray(values)
+    is_complex = np.iscomplexobj(v)
+    if selection == SortRule.LargestMagn:
+        return -np.abs(v)
+    if selection == SortRule.SmallestMagn:
+        return np.abs(v)
+    if selection == SortRule.LargestReal:
+        return -v.real
+    if selection == SortRule.SmallestReal:
+        return v.real
+    if selection == SortRule.LargestImag:
+        return -np.abs(v.imag)
+    if selection == SortRule.SmallestImag:
+        return np.abs(v.imag)
+    if selection in (SortRule.LargestAlge, SortRule.BothEnds):
+        if is_complex:
+            raise ValueError("algebraic sort rules require real eigenvalues")
+        return -v
+    if selection == SortRule.SmallestAlge:
+        if is_complex:
+            raise ValueError("algebraic sort rules require real eigenvalues")
+        return v
+    raise ValueError(f"unsupported selection rule {selection}")
+
+
 def argsort_np(selection: SortRule, values) -> np.ndarray:
     """Numpy twin of :func:`argsort` for host-driven paths (runtimes
     where complex arrays cannot touch the accelerator)."""
     v = np.asarray(values)
-    is_complex = np.iscomplexobj(v)
-    if selection == SortRule.LargestMagn:
-        key = -np.abs(v)
-    elif selection == SortRule.SmallestMagn:
-        key = np.abs(v)
-    elif selection == SortRule.LargestReal:
-        key = -v.real
-    elif selection == SortRule.SmallestReal:
-        key = v.real
-    elif selection == SortRule.LargestImag:
-        key = -np.abs(v.imag)
-    elif selection == SortRule.SmallestImag:
-        key = np.abs(v.imag)
-    elif selection in (SortRule.LargestAlge, SortRule.BothEnds):
-        if is_complex:
-            raise ValueError("algebraic sort rules require real eigenvalues")
-        key = -v
-    elif selection == SortRule.SmallestAlge:
-        if is_complex:
-            raise ValueError("algebraic sort rules require real eigenvalues")
-        key = v
-    else:
-        raise ValueError(f"unsupported selection rule {selection}")
-    ind = np.argsort(key, kind="stable")
+    ind = np.argsort(sort_key_np(selection, v), kind="stable")
     if selection == SortRule.BothEnds:
         ind = ind[both_ends_permutation(len(v))]
     return ind

@@ -1,0 +1,97 @@
+"""Krylov-Schur restarting for the general solvers (_gen_ks)."""
+
+import numpy as np
+import pytest
+
+import spectra_tpu as st
+
+
+def _dense(n, seed):
+    return np.random.default_rng(seed).normal(size=(n, n))
+
+
+def test_matches_implicit_restart_exactly():
+    """With exact shifts, Krylov-Schur and implicit restarts are
+    mathematically equivalent (Stewart 2001): identical restart and
+    matvec counts on the same starting vector."""
+    A = _dense(200, 0)
+    runs = {}
+    for method in ("implicit", "krylov_schur"):
+        s = st.GenEigsSolver(st.DenseGenMatProd.create(A), nev=5, ncv=16)
+        s.init()
+        s.set_restart_method(method)
+        nconv = s.compute(st.SortRule.LargestMagn, maxit=500, tol=1e-10)
+        assert nconv == 5
+        assert s.info() == st.CompInfo.Successful
+        runs[method] = (s.num_iterations(), s.num_operations(), s.eigenvalues())
+    assert runs["implicit"][0] == runs["krylov_schur"][0]
+    assert runs["implicit"][1] == runs["krylov_schur"][1]
+    np.testing.assert_allclose(
+        runs["implicit"][2], runs["krylov_schur"][2], rtol=1e-8
+    )
+
+
+@pytest.mark.parametrize("selection", [st.SortRule.LargestMagn, st.SortRule.LargestReal])
+def test_residuals(selection):
+    A = _dense(150, 3)
+    s = st.GenEigsSolver(st.DenseGenMatProd.create(A), nev=4, ncv=14)
+    s.init()
+    s.set_restart_method("krylov_schur")
+    nconv = s.compute(selection, maxit=500, tol=1e-10)
+    assert nconv == 4
+    vals = s.eigenvalues()
+    vecs = s.eigenvectors()
+    assert np.abs(A @ vecs - vecs * vals[None, :]).max() < 1e-8
+
+
+def test_shift_invert_transform():
+    """The Ritz-value back-transform must run on the KS path too."""
+    A = _dense(120, 5)
+    sigma = 0.3
+    s = st.GenEigsRealShiftSolver(
+        st.DenseGenRealShiftSolve.create(A), nev=3, ncv=12, sigma=sigma
+    )
+    s.init()
+    s.set_restart_method("krylov_schur")
+    nconv = s.compute(st.SortRule.LargestMagn, maxit=500, tol=1e-10)
+    assert nconv == 3
+    vals = s.eigenvalues()
+    vecs = s.eigenvectors()
+    assert np.abs(A @ vecs - vecs * vals[None, :]).max() < 1e-7
+    # these are the eigenvalues nearest sigma (conjugate-pair members
+    # are tied in |lam - sigma| for real sigma, so close the set)
+    lam = np.linalg.eigvals(A)
+    near = lam[np.argsort(np.abs(lam - sigma), kind="stable")[:4]]
+    near = np.concatenate([near, near.conj()])
+    for v in vals:
+        assert np.min(np.abs(near - v)) < 1e-7
+
+
+def test_sparse_op():
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(9)
+    n = 300
+    M = sp.random(n, n, density=0.03, random_state=rng, format="csr")
+    M = M + sp.diags(np.linspace(1.0, 2.0, n))
+    s = st.GenEigsSolver(st.SparseGenMatProd.create(M), nev=3, ncv=12)
+    s.init()
+    s.set_restart_method("krylov_schur")
+    nconv = s.compute(st.SortRule.LargestMagn, maxit=500, tol=1e-10)
+    assert nconv == 3
+    vals = s.eigenvalues()
+    vecs = s.eigenvectors()
+    assert np.abs(M @ vecs - vecs * vals[None, :]).max() < 1e-8
+
+
+def test_invalid_method_and_complex_rejected():
+    A = _dense(30, 1)
+    s = st.GenEigsSolver(st.DenseGenMatProd.create(A), nev=2, ncv=8)
+    with pytest.raises(ValueError):
+        s.set_restart_method("bogus")
+    C = (A + 1j * _dense(30, 2)).astype(np.complex128)
+    sc = st.GenEigsSolver(st.DenseGenMatProd.create(C), nev=2, ncv=8)
+    sc.set_restart_method("krylov_schur")
+    sc.init()
+    with pytest.raises(ValueError):
+        sc.compute(st.SortRule.LargestMagn)
