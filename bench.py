@@ -226,7 +226,10 @@ def main():
     host_nnz_s, host_t = _bench_spmv_host(A, v0)
 
     result = {
-        "metric": "laplacian2d_1M_spmv_throughput",
+        # Self-describing on fallback: a CPU number must not read as an
+        # accelerator measurement in the recorded bench history.
+        "metric": "laplacian2d_1M_spmv_throughput"
+        + ("_cpu_fallback" if fallback else ""),
         "value": round(tpu_nnz_s / 1e9, 4),
         "unit": "Gnnz/s",
         "vs_baseline": round(tpu_nnz_s / host_nnz_s, 4),

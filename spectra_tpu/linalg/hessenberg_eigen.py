@@ -58,11 +58,17 @@ def hessenberg_eigen(H):
 
     Backend selection (trace-time): ``SPECTRA_TPU_EIGEN_BACKEND`` =
     ``lapack`` | ``native`` | ``auto`` (default). ``auto`` uses the
-    host LAPACK bridge when the runtime supports callbacks and the
-    fully on-device Schur pipeline otherwise.
+    fully on-device Schur pipeline for small (replicated, ncv-sized)
+    problems — end-to-end IRAM timings match the callback bridge
+    within measurement noise on CPU, identical restart counts, and it
+    removes the ``pure_callback`` host dependency from the compiled
+    program — and the host LAPACK bridge for larger m when the
+    runtime supports callbacks.
     """
     backend = os.environ.get("SPECTRA_TPU_EIGEN_BACKEND", "auto")
-    if backend == "lapack" or (backend == "auto" and host_callbacks_supported()):
+    if backend == "lapack" or (
+        backend == "auto" and H.shape[0] > 64 and host_callbacks_supported()
+    ):
         return hessenberg_eigen_lapack(H)
     from spectra_tpu.linalg.schur import hessenberg_eigen_native
 
