@@ -105,10 +105,20 @@ class LOBPCGSolver:
         return R - Y @ (jnp.conj(BY).T @ R)
 
     # -- main loop -----------------------------------------------------
-    def compute(self, maxit: int = 100, tol_div_n: float = 1e-7) -> int:
+    def compute(
+        self, maxit: int = 100, tol_div_n: float = 1e-7, soft_locking: bool = True
+    ) -> int:
         """Iterate; ``tol_div_n`` is the per-dimension tolerance, the
         convergence bar is ``tol = tol_div_n * n`` as in the reference
-        (LOBPCGSolver.h compute(maxit, tol_div_n))."""
+        (LOBPCGSolver.h compute(maxit, tol_div_n)).
+
+        ``soft_locking`` (default on; the reference has no locking)
+        restricts the preconditioned-residual block W to the columns
+        whose Ritz pairs have not yet converged — converged vectors
+        stay in the Rayleigh-Ritz basis (so they keep improving and a
+        regressed pair re-enters the active set, since residuals are
+        recomputed over all columns every iteration) but cost no
+        further matvecs or preconditioner applications."""
         n, m = self._X0.shape
         tol = tol_div_n * n
 
@@ -136,7 +146,11 @@ class LOBPCGSolver:
                 self._info = CompInfo.Successful
                 break
 
-            W = R if self._T is None else self._T(R)
+            R_act = R
+            if soft_locking and 0 < nconv:
+                act = np.asarray(resid >= tol)
+                R_act = R[:, act]
+            W = R_act if self._T is None else self._T(R_act)
             W = self._deflate(W)
             W, ok = self._b_orthonormalize(W)
             if not bool(ok):

@@ -104,3 +104,40 @@ def test_lobpcg_constraints_deflation():
     assert solver.info() == st.CompInfo.Successful
     vals = np.sort(solver.eigenvalues())
     np.testing.assert_allclose(vals, w[2:4], atol=1e-6)
+
+
+def test_lobpcg_soft_locking_saves_matvecs():
+    """With soft locking (default), converged Ritz vectors stop costing
+    matvecs; results match the unlocked run."""
+    import scipy.sparse as sps
+    import jax.numpy as jnp
+
+    g = 10
+    lap1 = sps.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(g, g))
+    A = (sps.kron(sps.eye(g), lap1) + sps.kron(lap1, sps.eye(g))).tocsr()
+    n = g * g
+    k = 6
+    rng = np.random.default_rng(7)
+    X0 = rng.normal(size=(n, k))
+    w = np.sort(np.linalg.eigvalsh(A.toarray()))[:k]
+
+    counts = {}
+    results = {}
+    for lock in (True, False):
+        ncols = []
+
+        def counting_A(X, _n=ncols):
+            _n.append(X.shape[1])
+            return jnp.asarray(A @ np.asarray(X))
+
+        solver = st.LOBPCGSolver(counting_A, X0)
+        nconv = solver.compute(maxit=300, tol_div_n=1e-10, soft_locking=lock)
+        assert solver.info() == st.CompInfo.Successful
+        assert nconv == k
+        counts[lock] = sum(ncols)
+        results[lock] = np.sort(solver.eigenvalues())
+        np.testing.assert_allclose(results[lock], w, atol=1e-6)
+
+    # Locking must not cost extra matvecs; on this clustered grid
+    # problem it saves some (early-converged columns leave W).
+    assert counts[True] <= counts[False]
