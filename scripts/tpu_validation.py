@@ -65,6 +65,20 @@ def main():
     print(f"gen: {e3.info().name} resid={np.abs(G@u3-u3*v3[None,:]).max():.2e}",
           flush=True)
 
+    # 3b. gen solver with Krylov-Schur restarting (device factorize +
+    # host ordered-Schur truncation; real arithmetic only on-chip)
+    e3b = st.GenEigsSolver(st.DenseGenMatProd.create(G), nev=5, ncv=20)
+    e3b.init()
+    e3b.set_restart_method("krylov_schur")
+    e3b.compute(st.SortRule.LargestMagn)
+    v3b, u3b = e3b.eigenvalues(), np.asarray(e3b.eigenvectors())
+    print(
+        f"gen-ks: {e3b.info().name} "
+        f"resid={np.abs(G@u3b-u3b*v3b[None,:]).max():.2e} "
+        f"niter={e3b.num_iterations()} (implicit: {e3.num_iterations()})",
+        flush=True,
+    )
+
     # 4. sparse shift-invert (auto -> minres without callbacks)
     S = sps.random(300, 300, density=0.05, random_state=np.random.RandomState(5))
     S = (S + S.T).tocsr()
