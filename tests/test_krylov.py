@@ -100,3 +100,37 @@ class TestArnoldi:
         # H upper Hessenberg
         H = np.asarray(state.H)
         assert np.abs(np.tril(H, -2)).max() < 1e-12
+
+
+def test_truncate_schur_invariant():
+    """Krylov-Schur truncation: A V_k = V_k T_k + f b^T with f (and
+    beta) unchanged, V_k orthonormal, zero tail preserved."""
+    import scipy.linalg
+
+    rng = np.random.default_rng(11)
+    n, m, k = 60, 12, 5
+    A = rng.normal(size=(n, n))
+    op = DenseGenMatProd.create(A)
+    arnop = ArnoldiOp.create(op, None)
+    v0 = rng.normal(size=n)
+
+    state = krylov.init(arnop, jnp.asarray(v0), m, jax.random.PRNGKey(0))
+    state = krylov.factorize_from(arnop, state, 1, "arnoldi")
+    H = np.asarray(state.H)
+    T, U = scipy.linalg.schur(H, output="real")
+
+    new = krylov.truncate_schur(arnop, state, jnp.asarray(U), jnp.asarray(T), k)
+    V = np.asarray(new.V)
+    f = np.asarray(new.f)
+    b = U[m - 1, :k]
+
+    # residual untouched
+    np.testing.assert_array_equal(f, np.asarray(state.f))
+    assert float(new.beta) == float(state.beta)
+    # zero-tail invariant and orthonormal leading block
+    assert np.abs(V[:, k:]).max() == 0.0
+    np.testing.assert_allclose(V[:, :k].T @ V[:, :k], np.eye(k), atol=1e-12)
+    # the Krylov-Schur decomposition holds
+    lhs = A @ V[:, :k]
+    rhs = V[:, :k] @ np.asarray(new.H)[:k, :k] + np.outer(f, b)
+    np.testing.assert_allclose(lhs, rhs, atol=1e-10)
