@@ -57,17 +57,18 @@ def hessenberg_eigen(H):
     complex-conjugate pairs are exact and adjacent.
 
     Backend selection (trace-time): ``SPECTRA_TPU_EIGEN_BACKEND`` =
-    ``lapack`` | ``native`` | ``auto`` (default). ``auto`` uses the
-    fully on-device Schur pipeline for small (replicated, ncv-sized)
-    problems — end-to-end IRAM timings match the callback bridge
-    within measurement noise on CPU, identical restart counts, and it
-    removes the ``pure_callback`` host dependency from the compiled
-    program — and the host LAPACK bridge for larger m when the
-    runtime supports callbacks.
+    ``lapack`` | ``native`` | ``auto`` (default). ``auto`` bridges to
+    host LAPACK whenever the runtime supports callbacks: dgeev on an
+    ncv-sized H costs ~0.1 ms while the in-jit Francis pipeline costs
+    ~1.6 ms at m=20 on XLA-CPU (sequential deflation sweeps fight the
+    compiler), and the extraction runs once per restart — measured
+    end-to-end this halves the gen-solver wall time at n=100. The
+    fully on-device native pipeline serves callback-free runtimes
+    (tunneled TPU) where it is the only option.
     """
     backend = os.environ.get("SPECTRA_TPU_EIGEN_BACKEND", "auto")
     if backend == "lapack" or (
-        backend == "auto" and H.shape[0] > 64 and host_callbacks_supported()
+        backend == "auto" and host_callbacks_supported()
     ):
         return hessenberg_eigen_lapack(H)
     from spectra_tpu.linalg.schur import hessenberg_eigen_native

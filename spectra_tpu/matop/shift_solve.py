@@ -213,6 +213,48 @@ class DenseGenComplexShiftSolve:
 # ---------------------------------------------------------------------------
 
 
+#: Default inner/outer tolerance coupling: the inner solve targets a
+#: relative residual two decades below the outer eigenpair tolerance
+#: (the eigen-residual error is bounded by the inner residual times the
+#: operator norm, so one decade of headroom plus one of safety), floored
+#: at 50 eps of the working dtype (tighter is unreachable in finite
+#: precision and just burns iterations). SURVEY.md hard part #1
+#: ("documented tolerance coupling"); replaces the fixed 1e-12.
+INNER_TOL_FACTOR = 1e-2
+INNER_TOL_EPS_FLOOR = 50.0
+
+
+def coupled_inner_rtol(outer_tol: float, work_dtype) -> float:
+    eps = float(jnp.finfo(work_dtype).eps)
+    return max(INNER_TOL_EPS_FLOOR * eps, INNER_TOL_FACTOR * float(outer_tol))
+
+
+def couple_inner_tolerance(obj, outer_tol: float):
+    """Recursively rebuild any iterative shift-solve operators inside
+    ``obj`` (an operator pytree, e.g. an ArnoldiOp) whose inner
+    tolerance is uncoupled, pinning it to ``coupled_inner_rtol``.
+    Called by the solver drivers once the outer ``tol`` is known."""
+    import dataclasses
+
+    if isinstance(obj, SparseShiftSolveBase):
+        if obj.method != "splu" and obj.inner_rtol is None:
+            work = obj.shifted.dtype
+            return dataclasses.replace(
+                obj, inner_rtol=coupled_inner_rtol(outer_tol, work)
+            )
+        return obj
+    if dataclasses.is_dataclass(obj) and not isinstance(obj, type):
+        changes = {}
+        for f in dataclasses.fields(obj):
+            v = getattr(obj, f.name)
+            nv = couple_inner_tolerance(v, outer_tol)
+            if nv is not v:
+                changes[f.name] = nv
+        if changes:
+            return dataclasses.replace(obj, **changes)
+    return obj
+
+
 def _poison_if_unconverged(mv, y, b, accept_rel=1e-9):
     """Replace an iterative solve's result with NaN when its relative
     residual exceeds ``accept_rel``. A silently inaccurate inner solve
@@ -243,15 +285,30 @@ class _HostLUSolver:
         return self.splu.solve(b.astype(self.np_dtype, copy=False))
 
 
-@pytree_dataclass(meta_fields=("solver", "n", "method", "out_real"))
+@pytree_dataclass(
+    meta_fields=(
+        "solver",
+        "n",
+        "method",
+        "out_real",
+        "inner_rtol",
+        "precond",
+        "cheb_degree",
+        "cheb_interval",
+    )
+)
 class SparseShiftSolveBase:
     """Shared machinery for the sparse (A - sigma I)^{-1} operators.
 
     ``method="splu"``: ``solver`` holds the host factorization and
     ``perform_op`` round-trips the RHS via ``pure_callback``.
-    ``method="cg"``/``"bicgstab"``: ``shifted`` holds the on-device ELL
-    matrix of ``A - sigma I`` and the solve is an inner Krylov iteration
-    compiled into the outer program.
+    ``method="minres"``/``"cg"``/``"bicgstab"``: ``shifted`` holds the
+    on-device ELL matrix of ``A - sigma I`` and the solve is an inner
+    Krylov iteration compiled into the outer program, optionally
+    preconditioned (``precond="jacobi"``/``"cheb"``, see
+    :mod:`spectra_tpu.matop.precond`) with its tolerance coupled to the
+    outer solver tolerance (``inner_rtol=None`` until the driver calls
+    :func:`couple_inner_tolerance`).
     """
 
     shifted: object  # EllMatrix of A - sigma*I (or None for splu)
@@ -259,6 +316,15 @@ class SparseShiftSolveBase:
     n: int
     method: str
     out_real: bool
+    inner_rtol: object = None  # float once coupled
+    precond: str = "none"
+    cheb_degree: int = 16
+    cheb_interval: object = None  # (alpha, beta) floats, or None = auto
+
+    def with_inner_rtol(self, rtol: float):
+        import dataclasses
+
+        return dataclasses.replace(self, inner_rtol=float(rtol))
 
     @property
     def dtype(self):
@@ -285,18 +351,54 @@ class SparseShiftSolveBase:
             mv = self.shifted.matvec
             work_dtype = self.shifted.dtype
             b = x.astype(work_dtype)
+            rtol = (
+                self.inner_rtol
+                if self.inner_rtol is not None
+                else coupled_inner_rtol(1e-10, work_dtype)
+            )
+            maxiter = min(10 * self.n, 20000)
             if self.method == "minres":
                 from spectra_tpu.linalg.minres import minres
+                from spectra_tpu.matop.precond import (
+                    gershgorin_upper,
+                    preconditioned_system,
+                )
 
-                y, _ = minres(mv, b, rtol=1e-12, maxiter=min(10 * self.n, 20000))
+                if self.precond == "cheb" and self.cheb_interval is None:
+                    beta = gershgorin_upper(self.shifted)
+                    alpha = 1e-4 * beta
+                elif self.precond == "cheb":
+                    alpha, beta = self.cheb_interval
+                else:
+                    alpha = beta = None
+                mv2, b2, recover = preconditioned_system(
+                    mv,
+                    b,
+                    self.precond,
+                    diag=(
+                        self.shifted.diagonal()
+                        if self.precond == "jacobi"
+                        else None
+                    ),
+                    alpha=alpha,
+                    beta=beta,
+                    degree=self.cheb_degree,
+                )
+                if self.precond == "cheb":
+                    # each transformed matvec costs cheb_degree SpMVs
+                    maxiter = max(maxiter // self.cheb_degree, 50)
+                y, _ = minres(mv2, b2, rtol=rtol, maxiter=maxiter)
+                y = recover(y)
             else:
                 solve = (
                     jax.scipy.sparse.linalg.cg
                     if self.method == "cg"
                     else jax.scipy.sparse.linalg.bicgstab
                 )
-                y, _ = solve(mv, b, tol=1e-12, maxiter=min(10 * self.n, 20000))
-            y = _poison_if_unconverged(mv, y, b)
+                y, _ = solve(mv, b, tol=rtol, maxiter=maxiter)
+            y = _poison_if_unconverged(
+                mv, y, b, accept_rel=max(1e3 * rtol, 1e-9)
+            )
         if self.out_real:
             return jnp.real(y).astype(self.dtype)
         return y
@@ -316,7 +418,17 @@ def _resolve_sparse_method(method: str, symmetric: bool = True) -> str:
     return "minres" if symmetric else "bicgstab"
 
 
-def _build_sparse_shift(csr, sigma, method, out_real=False, symmetric=True):
+def _build_sparse_shift(
+    csr,
+    sigma,
+    method,
+    out_real=False,
+    symmetric=True,
+    precond="none",
+    inner_rtol=None,
+    cheb_degree=16,
+    cheb_interval=None,
+):
     import scipy.sparse as sps
     import scipy.sparse.linalg as spla
 
@@ -342,16 +454,39 @@ def _build_sparse_shift(csr, sigma, method, out_real=False, symmetric=True):
         n=n,
         method=method,
         out_real=out_real,
+        inner_rtol=inner_rtol,
+        precond=precond,
+        cheb_degree=cheb_degree,
+        cheb_interval=cheb_interval,
     )
 
 
 class SparseSymShiftSolve:
     """(A - sigma I)^{-1} x for sparse real symmetric A
-    (reference: SparseSymShiftSolve.h:51,85-102 uses Eigen SparseLU)."""
+    (reference: SparseSymShiftSolve.h:51,85-102 uses Eigen SparseLU).
 
-    def __init__(self, csr, uplo: str = "L", method: str = "auto"):
+    Iterative-path knobs (ignored by the SuperLU path): ``precond``
+    ("none"/"jacobi"/"cheb"), ``inner_rtol`` (None = couple to the
+    outer tol), ``cheb_degree``, ``cheb_interval``."""
+
+    def __init__(
+        self,
+        csr,
+        uplo: str = "L",
+        method: str = "auto",
+        precond: str = "none",
+        inner_rtol=None,
+        cheb_degree: int = 16,
+        cheb_interval=None,
+    ):
         self._csr = symmetrize_scipy(csr, uplo, conjugate=False)
         self._method = method
+        self._iter_opts = dict(
+            precond=precond,
+            inner_rtol=inner_rtol,
+            cheb_degree=cheb_degree,
+            cheb_interval=cheb_interval,
+        )
 
     @property
     def dtype(self):
@@ -364,11 +499,13 @@ class SparseSymShiftSolve:
         return self._csr.shape[1]
 
     @classmethod
-    def create(cls, csr, uplo: str = "L", method: str = "auto"):
-        return cls(csr, uplo, method)
+    def create(cls, csr, uplo: str = "L", method: str = "auto", **kwargs):
+        return cls(csr, uplo, method, **kwargs)
 
     def set_shift(self, sigma):
-        return _build_sparse_shift(self._csr, sigma, self._method)
+        return _build_sparse_shift(
+            self._csr, sigma, self._method, **self._iter_opts
+        )
 
 
 class SparseGenRealShiftSolve:

@@ -25,6 +25,11 @@ from spectra_tpu.parallel.mesh import (
     shard_problem,
 )
 from spectra_tpu.parallel.stencil_spmv import ShardedStencilMatProd
+from spectra_tpu.parallel.halo_spmv import (
+    HaloPlan,
+    ShardedEllMatProd,
+    plan_halo_partition,
+)
 
 __all__ = [
     "partition_report",
@@ -34,4 +39,7 @@ __all__ = [
     "shard_operator",
     "shard_problem",
     "ShardedStencilMatProd",
+    "ShardedEllMatProd",
+    "HaloPlan",
+    "plan_halo_partition",
 ]

@@ -37,7 +37,11 @@ def replicated(mesh: Mesh):
 
 
 def _put(x, sharding):
-    return jax.device_put(x, sharding)
+    # Process-spanning shardings can't be device_put from one host;
+    # route through the per-process placement helper.
+    from spectra_tpu.distributed import global_put
+
+    return global_put(x, sharding)
 
 
 def shard_operator(op, mesh: Mesh):

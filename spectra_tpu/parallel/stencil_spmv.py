@@ -15,6 +15,10 @@ Requires the halo to fit in one neighbor shard (``max|offset| <=
 n/n_devices``), true for any reasonable partition of a banded matrix.
 """
 
+import functools
+
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -23,60 +27,78 @@ from spectra_tpu.sparse.formats import DiaMatrix
 from spectra_tpu.util.pytree import pytree_dataclass
 
 
-def _halo_matvec_local(data_loc, x_loc, left_halo, right_halo, offsets):
-    """Local stencil multiply: x_loc extended by neighbor halos."""
+def _interior_matvec(data_loc, x_loc, offsets):
+    """Stencil multiply with zero halos (no neighbor dependency).
+
+    Uses x_loc zero-extended on both sides; boundary rows get their
+    missing halo contributions added separately, which keeps this bulk
+    compute independent of the ppermutes so XLA overlaps them.
+    """
     lo = max(0, -min(offsets))
     hi = max(0, max(offsets))
-    xe = jnp.concatenate([left_halo, x_loc, right_halo])
     rows = x_loc.shape[0]
-    y = jnp.zeros((rows,), data_loc.dtype)
+    pad = [(lo, hi)] + [(0, 0)] * (x_loc.ndim - 1)
+    xe = jnp.pad(x_loc, pad)
+    y = jnp.zeros_like(x_loc)
     for k, off in enumerate(offsets):
-        y = y + data_loc[k] * jax.lax.dynamic_slice(xe, (lo + off,), (rows,))
+        seg = jax.lax.dynamic_slice_in_dim(xe, lo + off, rows, axis=0)
+        dk = data_loc[k] if x_loc.ndim == 1 else data_loc[k][:, None]
+        y = y + dk * seg
     return y
 
 
-def make_stencil_matvec(mesh: Mesh, offsets, axis: str = "rows"):
+@functools.lru_cache(maxsize=64)
+def make_stencil_matvec(
+    mesh: Mesh, offsets: tuple, axis: str = "rows", blocked: bool = False
+):
     """Build a sharded DIA matvec with explicit halo exchange.
 
     Returns ``matvec(data_sharded, x_sharded) -> y_sharded`` where data
-    is (d, n) sharded on axis 1 and x is (n,) sharded — both with
-    PartitionSpec over ``axis``.
+    is (d, n) sharded on axis 1 and x is (n,) — or (n, k) with
+    ``blocked=True`` — sharded on axis 0. The interior multiply is
+    independent of the halo traffic (boundary rows are corrected after
+    the exchange), so the collectives overlap with the bulk compute.
     """
+    offsets = tuple(offsets)
     lo = max(0, -min(offsets))
     hi = max(0, max(offsets))
     n_dev = mesh.shape[axis]
 
     def local_fn(data_loc, x_loc):
         rows = x_loc.shape[0]
-        if n_dev == 1:
-            left = jnp.zeros((lo,), x_loc.dtype)
-            right = jnp.zeros((hi,), x_loc.dtype)
-            return _halo_matvec_local(data_loc, x_loc, left, right, offsets)
-        idx = jax.lax.axis_index(axis)
-        # Send my top `lo` rows to the right neighbor's left halo and
-        # my bottom `hi` rows to the left neighbor's right halo.
-        right_perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
-        left_perm = [(i, (i - 1) % n_dev) for i in range(n_dev)]
-        left_halo = jnp.zeros((max(lo, 1),), x_loc.dtype)
-        right_halo = jnp.zeros((max(hi, 1),), x_loc.dtype)
-        if lo > 0:
-            recv = jax.lax.ppermute(x_loc[rows - lo :], axis, right_perm)
-            # First shard has no left neighbor: halo is zero.
-            left_halo = jnp.where(idx == 0, 0.0, recv)
-        if hi > 0:
-            recv = jax.lax.ppermute(x_loc[:hi], axis, left_perm)
-            right_halo = jnp.where(idx == n_dev - 1, 0.0, recv)
-        return _halo_matvec_local(
-            data_loc, x_loc, left_halo[:lo], right_halo[:hi], offsets
-        )
+        left_halo = right_halo = None
+        if n_dev > 1 and lo > 0:
+            # My bottom `lo` rows feed the right neighbor's left halo;
+            # shard 0 has no left neighbor (no sender) -> zeros.
+            perm = [(i, i + 1) for i in range(n_dev - 1)]
+            left_halo = jax.lax.ppermute(x_loc[rows - lo :], axis, perm)
+        if n_dev > 1 and hi > 0:
+            perm = [(i + 1, i) for i in range(n_dev - 1)]
+            right_halo = jax.lax.ppermute(x_loc[:hi], axis, perm)
+        y = _interior_matvec(data_loc, x_loc, offsets)
+        # Boundary corrections (tiny slices; join after the exchange).
+        for k, off in enumerate(offsets):
+            if off < 0 and left_halo is not None:
+                dk = data_loc[k, : -off]
+                seg = left_halo[lo + off : lo + off + (-off)]
+                if x_loc.ndim == 2:
+                    dk = dk[:, None]
+                y = y.at[: -off].add(dk * seg)
+            elif off > 0 and right_halo is not None:
+                dk = data_loc[k, rows - off :]
+                seg = right_halo[:off]
+                if x_loc.ndim == 2:
+                    dk = dk[:, None]
+                y = y.at[rows - off :].add(dk * seg)
+        return y
 
-    sharded = jax.shard_map(
+    vec = P(axis, None) if blocked else P(axis)
+    return jax.shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(P(None, axis), P(axis)),
-        out_specs=P(axis),
+        in_specs=(P(None, axis), vec),
+        out_specs=vec,
     )
-    return sharded
 
 
 @pytree_dataclass(meta_fields=("offsets", "n_rows", "mesh", "axis"))
@@ -106,7 +128,11 @@ class ShardedStencilMatProd:
             )
         if max(lo, hi) > rows_per:
             raise ValueError("halo exceeds shard size; use fewer devices")
-        data = jax.device_put(dia.data, NamedSharding(mesh, P(None, axis)))
+        from spectra_tpu.distributed import global_put
+
+        data = global_put(
+            np.asarray(dia.data), NamedSharding(mesh, P(None, axis))
+        )
         return cls(
             data=data,
             offsets=dia.offsets,
@@ -126,12 +152,12 @@ class ShardedStencilMatProd:
         return self.n_rows
 
     def perform_op(self, x):
-        mv = make_stencil_matvec(self.mesh, self.offsets, self.axis)
-        if x.ndim == 1:
-            return mv(self.data, x)
-        return jnp.stack(
-            [mv(self.data, x[:, j]) for j in range(x.shape[1])], axis=1
+        # One halo exchange per call, vector or block (the block path
+        # ships (lo+hi, k) halo rows in the same two ppermutes).
+        mv = make_stencil_matvec(
+            self.mesh, tuple(self.offsets), self.axis, blocked=(x.ndim == 2)
         )
+        return mv(self.data, x)
 
     def diagonal(self):
         if 0 in self.offsets:

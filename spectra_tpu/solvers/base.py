@@ -22,6 +22,18 @@ from spectra_tpu.util.rng import SimpleRandom
 from spectra_tpu.util.selection import SortRule
 
 
+def fetch_result_leaf(x):
+    """Bring a result leaf to host numpy. Under multi-process execution
+    replicated leaves (eigenvalues, counters) are fetched from the local
+    shard; row-sharded leaves (eigenvector blocks) stay as global jax
+    Arrays — every process sees the same accessor values either way."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        if x.is_fully_replicated:
+            return np.asarray(x.addressable_data(0))
+        return x
+    return np.asarray(x)
+
+
 class HermEigsBase:
     """Base for all symmetric/Hermitian IRLM solver drivers.
 
@@ -163,6 +175,9 @@ class HermEigsBase:
         """Run the solver; returns the number of converged eigenvalues."""
         if self._v0 is None:
             self.init()
+        from spectra_tpu.matop.shift_solve import couple_inner_tolerance
+
+        self._arnop = couple_inner_tolerance(self._arnop, tol)
         tol_arr = jnp.asarray(tol, jnp.finfo(self._dtype).dtype)
         if self._restart_chunk is None:
             res = irlm_compute(
@@ -226,7 +241,7 @@ class HermEigsBase:
                 sorting=sorting,
                 transform=type(self)._ritz_transform,
             )
-        res = jax.tree_util.tree_map(lambda x: np.asarray(x), res)
+        res = jax.tree_util.tree_map(fetch_result_leaf, res)
         self._result = res
         nconv = int(res.nconv)
         self._niter = int(res.niter)

@@ -18,7 +18,7 @@ from spectra_tpu.solvers._gen_core import (
     iram_restarts,
     iram_start,
 )
-from spectra_tpu.solvers.base import HermEigsBase
+from spectra_tpu.solvers.base import HermEigsBase, fetch_result_leaf
 from spectra_tpu.util.compinfo import CompInfo
 from spectra_tpu.util.selection import SortRule
 
@@ -79,6 +79,9 @@ class GenEigsBase(HermEigsBase):
     ) -> int:
         if self._v0 is None:
             self.init()
+        from spectra_tpu.matop.shift_solve import couple_inner_tolerance
+
+        self._arnop = couple_inner_tolerance(self._arnop, tol)
         if self._restart_method == "krylov_schur":
             return self._compute_ks(selection, maxit, tol, sorting)
         if self._use_host_driver():
@@ -129,7 +132,7 @@ class GenEigsBase(HermEigsBase):
                 sorting=sorting,
                 transform=type(self)._ritz_transform,
             )
-        res = jax.tree_util.tree_map(lambda x: np.asarray(x), res)
+        res = jax.tree_util.tree_map(fetch_result_leaf, res)
         self._result = res
         nconv = int(res.nconv)
         self._niter = int(res.niter)

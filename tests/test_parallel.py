@@ -159,3 +159,115 @@ def test_partition_report():
     assert rep["halo_per_part"][0] == g and rep["halo_per_part"][-1] == g
     assert all(h == 2 * g for h in rep["halo_per_part"][1:-1])
     assert rep["halo_bytes_per_spmv"] < rep["allgather_bytes_per_spmv"] / 10
+
+
+@requires_multidevice
+class TestHaloEllSpMV:
+    """General-sparsity O(halo) SpMV (parallel/halo_spmv.py): per-SpMV
+    traffic = distance-grouped boundary gathers, not an all-gather of x
+    (reference hot op: MatOp/SparseSymMatProd.h:83-89 at scale)."""
+
+    def _sharded(self, x, mesh, spec):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(
+            jax.numpy.asarray(x), NamedSharding(mesh, spec)
+        )
+
+    def test_matvec_and_block_exact(self):
+        from jax.sharding import PartitionSpec as P
+        from spectra_tpu.parallel import ShardedEllMatProd
+
+        rng = np.random.RandomState(0)
+        n = 16 * 8
+        A = sps.random(n, n, density=0.08, random_state=rng, format="csr")
+        A = (A + A.T).tocsr()
+        mesh = row_mesh(8)
+        op = ShardedEllMatProd.create(A, mesh)
+        x = rng.normal(size=n)
+        y = np.asarray(jax.jit(op.perform_op)(self._sharded(x, mesh, P("rows"))))
+        np.testing.assert_allclose(y, A @ x, atol=1e-12)
+        X = rng.normal(size=(n, 5))
+        Y = np.asarray(
+            jax.jit(op.perform_op)(self._sharded(X, mesh, P("rows", None)))
+        )
+        np.testing.assert_allclose(Y, A @ X, atol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(op.diagonal()), A.diagonal(), atol=1e-14
+        )
+
+    def test_comm_volume_beats_allgather(self):
+        """For the banded benchmark family the plan moves an order of
+        magnitude fewer bytes than GSPMD's all-gather of x."""
+        from spectra_tpu.parallel import plan_halo_partition
+
+        g = 32
+        A = _laplacian_2d(g)
+        plan = plan_halo_partition(A, 8)
+        rep = plan.comm_report()
+        assert plan.dists == (-1, 1)  # nearest-neighbor only
+        assert rep["halo_bytes"] * 10 <= rep["allgather_bytes"]
+
+    def test_solver_matches_unsharded(self):
+        from jax.sharding import PartitionSpec as P
+        from spectra_tpu.parallel import ShardedEllMatProd
+
+        rng = np.random.RandomState(3)
+        n = 16 * 8
+        A = sps.random(n, n, density=0.08, random_state=rng, format="csr")
+        A = (A + A.T).tocsr()
+        v0 = SimpleRandom(0).random_vec(n)
+
+        ref = st.SymEigsSolver(
+            st.SparseSymMatProd.from_full(A, format="ell"), nev=4, ncv=16
+        )
+        ref.init(v0)
+        ref.compute(st.SortRule.LargestMagn)
+
+        mesh = row_mesh(8)
+        op = ShardedEllMatProd.create(A, mesh)
+        eigs = st.SymEigsSolver(op, nev=4, ncv=16)
+        eigs.init(self._sharded(v0, mesh, P("rows")))
+        eigs.compute(st.SortRule.LargestMagn)
+        assert eigs.info() == st.CompInfo.Successful
+        np.testing.assert_allclose(
+            eigs.eigenvalues(), ref.eigenvalues(), atol=1e-10
+        )
+        vecs = np.asarray(eigs.eigenvectors())
+        lam = np.asarray(eigs.eigenvalues())
+        resid = np.abs(A @ vecs - vecs * lam[None, :]).max()
+        assert resid < 1e-9 * max(1.0, np.abs(lam).max())
+
+    def test_block_diagonal_no_comm(self):
+        """A block-diagonal partition needs no halo at all."""
+        from jax.sharding import PartitionSpec as P
+        from spectra_tpu.parallel import ShardedEllMatProd
+
+        rng = np.random.RandomState(1)
+        blocks = [sps.random(16, 16, density=0.3, random_state=rng) for _ in range(8)]
+        A = sps.block_diag(blocks).tocsr()
+        mesh = row_mesh(8)
+        op = ShardedEllMatProd.create(A, mesh)
+        assert op.dists == ()
+        x = rng.normal(size=A.shape[0])
+        y = np.asarray(jax.jit(op.perform_op)(self._sharded(x, mesh, P("rows"))))
+        np.testing.assert_allclose(y, A @ x, atol=1e-13)
+
+
+@requires_multidevice
+def test_stencil_block_matvec():
+    """The stencil op ships a block through one halo exchange."""
+    from jax.sharding import PartitionSpec as P, NamedSharding
+    from spectra_tpu.sparse import dia_from_scipy
+    from spectra_tpu.parallel.stencil_spmv import ShardedStencilMatProd
+
+    g = 16
+    A = _laplacian_2d(g)
+    mesh = row_mesh(8)
+    op = ShardedStencilMatProd.create(dia_from_scipy(A), mesh)
+    X = np.random.default_rng(0).normal(size=(g * g, 4))
+    Xs = jax.device_put(
+        jax.numpy.asarray(X), NamedSharding(mesh, P("rows", None))
+    )
+    Y = np.asarray(jax.jit(op.perform_op)(Xs))
+    np.testing.assert_allclose(Y, A @ X, atol=1e-12)
