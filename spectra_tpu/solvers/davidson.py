@@ -48,3 +48,11 @@ class DavidsonSymEigsSolver(JDSymEigsBase):
         rho = pairs.values[:k]
         denom = rho[None, :] - self._diagonal[:, None]
         return residues / denom
+
+    # Compiled-path form of the same DPR correction (aux = diag(A)).
+    @staticmethod
+    def _correction_kernel(vals_c, residues_c, aux):
+        return residues_c / (vals_c[None, :] - aux[:, None])
+
+    def _correction_aux(self):
+        return self._diagonal

@@ -13,6 +13,8 @@ Subclasses implement ``setup_initial_search_space(selection)`` and
 virtual methods.
 """
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -75,6 +77,67 @@ class JDSymEigsBase:
     def calculate_correction_vector(self):
         raise NotImplementedError
 
+    # Compiled-path seam: subclasses expose the correction as a pure
+    # static function + aux operand (the CRTP virtual as data flow).
+    _correction_kernel = None  # staticmethod (vals_c, residues_c, aux)
+
+    def _correction_aux(self):
+        return None
+
+    # -- compiled whole-iteration path (solvers/_jd_core.py) ------------
+    def _use_compiled(self, selection: SortRule) -> bool:
+        mode = os.environ.get("SPECTRA_TPU_JD_DRIVER", "auto")
+        if mode == "host":
+            return False
+        if type(self)._correction_kernel is None:
+            return False
+        if selection == SortRule.BothEnds:
+            # the interleave permutation is width-dependent; host loop
+            return False
+        # Padded buffer must fit: widest schedule point <= n.
+        i0, c, M = (
+            self._initial_search_space_size,
+            self._correction_size,
+            self._max_search_space_size,
+        )
+        if i0 < self._nev or c < 1:
+            return False
+        top = i0
+        while top <= M:
+            top += c
+        return top <= self._op.rows()
+
+    def _compute_compiled(self, initial_space, selection, maxit, tol) -> int:
+        from spectra_tpu.solvers._jd_core import jd_compute
+
+        res = jd_compute(
+            self._op,
+            jnp.asarray(initial_space),
+            self._correction_aux(),
+            jnp.asarray(int(maxit), jnp.int32),
+            tol,
+            max_space=self._max_search_space_size,
+            i0=self._initial_search_space_size,
+            c=self._correction_size,
+            nev=self._nev,
+            selection=selection,
+            correction_fn=type(self)._correction_kernel,
+        )
+        status = int(res.status)
+        self._niter = int(res.niter)
+        self._info = {
+            1: CompInfo.Successful,
+            2: CompInfo.NotConverging,
+            3: CompInfo.NumericalIssue,
+        }.get(status, CompInfo.NotComputed)
+        self._ritz_pairs = rp.RitzPairs(
+            values=jnp.asarray(res.values),
+            small_vectors=None,
+            vectors=jnp.asarray(res.vectors),
+            residues=jnp.asarray(res.residues),
+        )
+        return int(np.asarray(res.conv).sum())
+
     # -- main loop (reference: JDSymEigsBase.h:141-185) ----------------
     def compute(
         self,
@@ -92,6 +155,8 @@ class JDSymEigsBase:
         maxit: int = 100,
         tol: float = 1e-10,
     ) -> int:
+        if self._use_compiled(selection):
+            return self._compute_compiled(initial_space, selection, maxit, tol)
         ss = self._search_space
         ss.initialize_search_space(initial_space)
         self._niter = 0
