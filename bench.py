@@ -55,16 +55,42 @@ def _laplacian_2d(g):
     return (sps.kron(sps.eye(g), lap1) + sps.kron(lap1, sps.eye(g))).tocsr()
 
 
-def _bench_spmv_tpu(op, v0, nnz, repeats=100):
+def _bench_spmv_tpu(op, v0, nnz, k_lo=10, k_hi=1010):
+    """Sustained in-loop SpMV time: k chained SpMVs inside ONE compiled
+    program (the solver's actual usage — the whole IRLM iteration runs
+    in one jit), timed by the difference method.
+
+    Methodology notes (load-bearing on remote/tunneled runtimes):
+      * ``block_until_ready`` on some PJRT plugins acknowledges enqueue,
+        not completion — only a host fetch of a result value truly
+        synchronizes, so each timing ends with a scalar fetch;
+      * one launch+fetch round trip costs ~25 ms through a tunnel;
+        timing k_lo and k_hi iterations and dividing the difference by
+        (k_hi - k_lo) cancels that fixed overhead exactly;
+      * both loop lengths are compiled AND warmed before timing (a
+        different static k is a fresh executable).
+    """
+    import functools
+
     import jax
 
-    f = jax.jit(op.perform_op)
-    x = jax.block_until_ready(f(v0))  # compile + warm
-    t0 = time.perf_counter()
-    for _ in range(repeats):
-        x = f(x)  # chained: forces sequential execution
-    jax.block_until_ready(x)
-    dt = (time.perf_counter() - t0) / repeats
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def loop(x, k):
+        # 0.125 keeps the iterate bounded (Laplacian lambda_max = 8).
+        return jax.lax.fori_loop(0, k, lambda i, v: op.perform_op(v) * 0.125, x)
+
+    for k in (k_lo, k_hi):
+        _ = np.asarray(loop(v0, k=k)[0])  # compile + warm + true sync
+
+    def timed(k, reps=3):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _ = np.asarray(loop(v0, k=k)[0])
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    dt = (timed(k_hi) - timed(k_lo)) / (k_hi - k_lo)
     return nnz / dt, dt
 
 

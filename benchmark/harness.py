@@ -22,6 +22,15 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 os.environ.setdefault("SPECTRA_TPU_X64", "1")
 
+# The harness is a HOST head-to-head: scipy's ARPACK runs on the CPU, so
+# ours must too (an auto-selected remote accelerator would turn the small
+# dense configs into a dispatch-latency benchmark, not a solver one).
+# Env vars are too late here — the environment may pre-import jax with a
+# TPU plugin via sitecustomize — so switch through jax.config.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import scipy.sparse as sps
 from scipy.sparse.linalg import eigs as arpack_eigs, eigsh as arpack_eigsh

@@ -88,6 +88,11 @@ def init(arnop, v0, m: int, key) -> KrylovState:
     w = arnop.perform_op(v)
     h00 = arnop.inner_product(v, w)
     f = w - h00 * v
+    if arnop.has_structure:
+        # Remove structural (e.g. J-orbit) rounding components so the
+        # next basis vector v1 = f/||f|| is structure-clean.
+        jv = arnop.ortho_basis(v[:, None])[:, 1:]
+        f = f - jv @ arnop.adjoint_product(jv, f)
 
     # If v is already an eigenvector, f is pure rounding noise: force it
     # to zero so the next factorization step restarts cleanly.
@@ -118,6 +123,9 @@ def _expand_basis(arnop, V, num_cols, key, dtype):
     n = V.shape[0]
     rdtype = dtypes.real_dtype(dtype)
     eps = jnp.asarray(dtypes.eps(dtype), rdtype)
+    # Vp == V for plain ops; structured ops widen it (e.g. [V, JV]) so
+    # random restarts are also structure-orthogonal.
+    Vp = arnop.ortho_basis(V)
 
     def one_try(carry, it):
         f, fnorm, done, extra_ops = carry
@@ -132,10 +140,10 @@ def _expand_basis(arnop, V, num_cols, key, dtype):
                 lambda r: (r, jnp.asarray(0, jnp.int64)),
                 rand,
             )
-            Vf = arnop.adjoint_product(V, f0)
-            f1 = f0 - V @ Vf
+            Vf = arnop.adjoint_product(Vp, f0)
+            f1 = f0 - Vp @ Vf
             fn = arnop.norm(f1)
-            Vf = arnop.adjoint_product(V, f1)
+            Vf = arnop.adjoint_product(Vp, f1)
             oe = _maxabs(Vf)
 
             def c_cond(c):
@@ -144,9 +152,9 @@ def _expand_basis(arnop, V, num_cols, key, dtype):
 
             def c_body(c):
                 f_c, fn_c, Vf_c, _, cnt = c
-                f_c = f_c - V @ Vf_c
+                f_c = f_c - Vp @ Vf_c
                 fn_c = arnop.norm(f_c)
-                Vf_c = arnop.adjoint_product(V, f_c)
+                Vf_c = arnop.adjoint_product(Vp, f_c)
                 return (f_c, fn_c, Vf_c, _maxabs(Vf_c), cnt + 1)
 
             f2, fn2, Vf2, oe2, _ = jax.lax.while_loop(
@@ -185,7 +193,11 @@ def _reorth_loop(arnop, V, f, beta, H, i, mode: str, skip, dtype, n):
     eps = jnp.asarray(dtypes.eps(dtype), rdtype)
     beta_thresh = eps * jnp.sqrt(jnp.asarray(n, rdtype))
 
-    Vf = arnop.adjoint_product(V, f)
+    # Vp == V for plain ops; wider for structured ops ([V, JV]). The H
+    # updates below only read the leading V-coefficients — the extra
+    # projections are noise removal, not recurrence coefficients.
+    Vp = arnop.ortho_basis(V)
+    Vf = arnop.adjoint_product(Vp, f)
     ortho_err = _maxabs(Vf)
 
     def cond(carry):
@@ -208,7 +220,7 @@ def _reorth_loop(arnop, V, f, beta, H, i, mode: str, skip, dtype, n):
 
         def correct(op):
             f_c, beta_c, Vf_c, _, H_c = op
-            f_n = f_c - V @ Vf_c
+            f_n = f_c - Vp @ Vf_c
             if mode == "lanczos":
                 hsub = H_c[i - 1, i] + Vf_c[i - 1]
                 H_n = (
@@ -219,9 +231,9 @@ def _reorth_loop(arnop, V, f, beta, H, i, mode: str, skip, dtype, n):
             else:
                 # Full column correction h <- h + Vf (entries past i are
                 # zero by the V-column invariant).
-                H_n = H_c.at[:, i].add(Vf_c)
+                H_n = H_c.at[:, i].add(Vf_c[: H_c.shape[0]])
             beta_n = arnop.norm(f_n)
-            Vf_n = arnop.adjoint_product(V, f_n)
+            Vf_n = arnop.adjoint_product(Vp, f_n)
             return (f_n, beta_n, Vf_n, _maxabs(Vf_n), H_n, False)
 
         f_c, beta_c, Vf_c, oe_c, H_c, broke_n = jax.lax.cond(
@@ -299,8 +311,12 @@ def _step(arnop, state: KrylovState, i, mode: str) -> KrylovState:
     else:
         # Full Gram-Schmidt: h = V^H B w over all i+1 current columns
         # (tail columns are zero so the full-width GEMV is exact).
-        h = arnop.adjoint_product(V, w)
-        f = w - V @ h
+        # Structured ops project against the widened basis; only the
+        # leading V-coefficients are recurrence entries.
+        Vp = arnop.ortho_basis(V)
+        h = arnop.adjoint_product(Vp, w)
+        f = w - Vp @ h
+        h = h[:m]
         H = H.at[:, i].set(h).at[i, i - 1].set(h_sub)
         beta = arnop.norm(f)
         skip = beta > jnp.asarray(0.717, rdtype) * jnp.linalg.norm(h)

@@ -33,10 +33,16 @@ class ArnoldiOp:
     op: object
     bop: object
 
+    # Static trait: True when ``ortho_basis`` is wider than V and the
+    # factorization must orthogonalize against the extra columns.
+    has_structure = False
+
     @classmethod
     def create(cls, op, bop=None):
         if isinstance(bop, IdentityBOp):
             bop = None
+        if bop is None and hasattr(op, "j_map") and cls is ArnoldiOp:
+            return JStructuredArnoldiOp(op=op, bop=None)
         return cls(op=op, bop=bop)
 
     @property
@@ -66,3 +72,46 @@ class ArnoldiOp:
     def norm(self, x):
         """B-norm sqrt(real(x^H B x))."""
         return jnp.sqrt(jnp.real(self.inner_product(x, x)))
+
+    def ortho_basis(self, V):
+        """The basis block the residual must be orthogonalized against.
+
+        Default: V itself. Structured subclasses may widen it (extra
+        columns whose projection coefficients are *not* recorded in H —
+        they are pure rounding noise in exact arithmetic).
+        """
+        return V
+
+
+@pytree_dataclass
+class JStructuredArnoldiOp(ArnoldiOp):
+    """ArnoldiOp for operators with a commuting complex structure J.
+
+    Used by the real 2n-embedding of complex Hermitian problems
+    (:class:`spectra_tpu.matop.herm_embed.RealEmbeddedHermMatProd`):
+    ``J(x, y) = (-y, x)`` realifies multiplication by ``i``; it is
+    orthogonal, antisymmetric and commutes with the embedded operator
+    E. Every eigenvalue of E is (at least) doubled, with eigenplanes
+    spanned by J-orbits {z, Jz} — both members recover the *same*
+    complex eigenvector (Jz realifies ``i z``).
+
+    Real Lanczos on E started from v never sees span{Jv, ...} in exact
+    arithmetic (the realified complex Lanczos), but floating-point
+    rounding leaks J-orbit components into the basis, which grow into
+    *phantom* duplicate Ritz pairs — and make genuine multiplicities
+    undecidable. Fix: keep the Krylov space complex-linearly
+    independent by orthogonalizing every residual against **J V** as
+    well as V. Then each Ritz pair is a distinct complex eigenpair and
+    genuinely repeated eigenvalues of A emerge through rounding exactly
+    as in complex ARPACK (reference handles this natively in complex
+    arithmetic, include/Spectra/HermEigsSolver.h:122-148).
+
+    The extra J-projections are noise removal only: the recorded
+    tridiagonal H is the realified complex-Lanczos tridiagonal, so the
+    whole replicated restart pipeline is unchanged.
+    """
+
+    has_structure = True
+
+    def ortho_basis(self, V):
+        return jnp.concatenate([V, self.op.j_map(V)], axis=1)

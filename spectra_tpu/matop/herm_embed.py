@@ -14,9 +14,15 @@ member of each doubled pair, which is exactly what we need: k distinct
 eigenvalues of A are recovered from the top-k distinct eigenvalues of
 E, and complex eigenvectors are reassembled from the halves.
 
-Caveat (documented): genuinely repeated eigenvalues of A become
-4-fold in E; like ARPACK itself, single-vector Lanczos resolves one
-copy. Use the CPU path for multiplicity-sensitive Hermitian work.
+Multiplicity: a naive real Lanczos on E cannot distinguish a genuine
+repeated eigenvalue of A from the structural doubling (both members of
+a J-orbit {z, Jz} recover the same complex eigenvector). The solver
+therefore runs a *J-structured* Lanczos — ``j_map`` below declares the
+realified multiplication by i, and the factorization orthogonalizes
+against J V as well as V (see
+:class:`spectra_tpu.matop.arnoldi_op.JStructuredArnoldiOp`). Each Ritz
+pair is then a distinct complex eigenpair, and genuine multiplicities
+emerge through rounding exactly as in complex ARPACK.
 """
 
 import numpy as np
@@ -66,6 +72,18 @@ class RealEmbeddedHermMatProd:
     def diagonal(self):
         d = jnp.diagonal(self.R)
         return jnp.concatenate([d, d])
+
+    def j_map(self, v):
+        """The realified multiplication by i: J(x, y) = (-y, x).
+
+        J commutes with E, is orthogonal and antisymmetric. Works on a
+        vector (2n,) or a column block (2n, m). Declaring this method
+        makes :class:`~spectra_tpu.matop.arnoldi_op.ArnoldiOp.create`
+        return a J-structured op whose Lanczos factorization
+        orthogonalizes against J V as well as V (see module docstring).
+        """
+        n = self.R.shape[0]
+        return jnp.concatenate([-v[n:], v[:n]], axis=0)
 
     def recover_eigenvectors(self, embedded_vecs):
         """Complex A-eigenvectors from E-eigenvectors: z = x + i y."""

@@ -48,6 +48,7 @@ class HermEigsBase:
 
     def __init__(self, op, nev: int, ncv: int, bop=None):
         self._op = op
+        self._has_bop = bop is not None
         self._arnop = ArnoldiOp.create(op, bop)
         n = op.rows()
         if op.cols() != n:
@@ -152,6 +153,7 @@ class HermEigsBase:
             if float(jnp.linalg.norm(v0)) < np.finfo(np.float64).tiny * 10:
                 raise ValueError("initial residual vector cannot be zero")
             self._v0 = v0
+            self._v0_host = None
         else:
             v0 = np.asarray(init_resid, dtype=self._dtype)
             if v0.shape != (self._n,):
@@ -159,6 +161,9 @@ class HermEigsBase:
             if np.linalg.norm(v0) < np.finfo(np.float64).tiny * 10:
                 raise ValueError("initial residual vector cannot be zero")
             self._v0 = jnp.asarray(v0)
+            # Host copy kept for the native dense driver: avoids a
+            # device->host round trip per compute() on remote platforms.
+            self._v0_host = v0
         self._info = CompInfo.NotComputed
         self._niter = 0
         self._nops = 0
@@ -178,6 +183,15 @@ class HermEigsBase:
         from spectra_tpu.matop.shift_solve import couple_inner_tolerance
 
         self._arnop = couple_inner_tolerance(self._arnop, tol)
+        if type(self)._mode == "lanczos":
+            from spectra_tpu.solvers import _native_dense
+
+            if _native_dense.eligible(self, sym=True):
+                res = _native_dense.compute(
+                    self, True, selection, maxit, tol, sorting
+                )
+                if res is not None:
+                    return self._finish_result(res)
         tol_arr = jnp.asarray(tol, jnp.finfo(self._dtype).dtype)
         if self._restart_chunk is None:
             res = irlm_compute(
@@ -241,6 +255,9 @@ class HermEigsBase:
                 sorting=sorting,
                 transform=type(self)._ritz_transform,
             )
+        return self._finish_result(res)
+
+    def _finish_result(self, res) -> int:
         res = jax.tree_util.tree_map(fetch_result_leaf, res)
         self._result = res
         nconv = int(res.nconv)

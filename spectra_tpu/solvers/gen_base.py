@@ -41,6 +41,7 @@ class GenEigsBase(HermEigsBase):
         # Intentionally does not call HermEigsBase.__init__: the nev/ncv
         # bounds differ, everything else is set up identically below.
         self._op = op
+        self._has_bop = bop is not None
         from spectra_tpu.matop.arnoldi_op import ArnoldiOp
 
         self._arnop = ArnoldiOp.create(op, bop)
@@ -82,6 +83,12 @@ class GenEigsBase(HermEigsBase):
         from spectra_tpu.matop.shift_solve import couple_inner_tolerance
 
         self._arnop = couple_inner_tolerance(self._arnop, tol)
+        from spectra_tpu.solvers import _native_dense
+
+        if _native_dense.eligible(self, sym=False):
+            res = _native_dense.compute(self, False, selection, maxit, tol, sorting)
+            if res is not None:
+                return self._finish_result(res)
         if self._restart_method == "krylov_schur":
             return self._compute_ks(selection, maxit, tol, sorting)
         if self._use_host_driver():
@@ -132,18 +139,7 @@ class GenEigsBase(HermEigsBase):
                 sorting=sorting,
                 transform=type(self)._ritz_transform,
             )
-        res = jax.tree_util.tree_map(fetch_result_leaf, res)
-        self._result = res
-        nconv = int(res.nconv)
-        self._niter = int(res.niter)
-        self._nops = int(res.nops)
-        if not np.all(np.isfinite(res.values)):
-            self._info = CompInfo.NumericalIssue
-            return 0
-        self._info = (
-            CompInfo.Successful if nconv >= self._nev else CompInfo.NotConverging
-        )
-        return min(self._nev, nconv)
+        return self._finish_result(res)
 
     def _use_host_driver(self) -> bool:
         """Host-driven loop when the accelerator cannot execute complex

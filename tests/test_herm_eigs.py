@@ -92,13 +92,72 @@ def test_real_embedded_herm():
     assert eigs.info() == st.CompInfo.Successful
     vals = eigs.eigenvalues()
     vecs = op.recover_eigenvectors(np.asarray(eigs.eigenvectors()))
-    # Lanczos finds one copy per doubled eigenvalue; dedupe and take
-    # the distinct top-k.
-    distinct = []
-    for v in sorted(vals, reverse=True):
-        if not distinct or abs(v - distinct[-1]) > 1e-8:
-            distinct.append(v)
+    # The J-structured Lanczos never admits both members of a J-orbit,
+    # so the k Ritz values ARE the true top-k of A — no dedupe needed.
     w = np.linalg.eigvalsh(A)
-    np.testing.assert_allclose(distinct[: k // 2], w[::-1][: k // 2], atol=1e-9)
+    np.testing.assert_allclose(np.sort(vals)[::-1], w[::-1][:k], atol=1e-9)
     resid = np.abs(A @ vecs - vecs * vals[None, :]).max()
     assert resid < 1e-8
+
+
+def test_real_embedded_resolves_multiplicity():
+    """Genuinely repeated Hermitian eigenvalues are resolved on the real
+    embedding (round-1 caveat closed): both copies returned, with
+    linearly independent complex eigenvectors."""
+    from spectra_tpu.matop.herm_embed import RealEmbeddedHermMatProd
+
+    rng = np.random.default_rng(7)
+    n = 60
+    M = rng.normal(size=(n, n)) + 1j * rng.normal(size=(n, n))
+    U, _ = np.linalg.qr(M)
+    w = np.linspace(0.1, 5.0, n)
+    w[-1] = w[-2] = 6.0  # double top eigenvalue
+    A = (U * w) @ U.conj().T
+    A = 0.5 * (A + A.conj().T)
+
+    op = RealEmbeddedHermMatProd.create(A)
+    eigs = st.SymEigsSolver(op, nev=4, ncv=16)
+    eigs.init()
+    eigs.compute(st.SortRule.LargestAlge)
+    assert eigs.info() == st.CompInfo.Successful
+    vals = np.sort(eigs.eigenvalues())[::-1]
+    np.testing.assert_allclose(vals[:2], [6.0, 6.0], atol=1e-9)
+    vecs = op.recover_eigenvectors(np.asarray(eigs.eigenvectors()))
+    resid = np.abs(A @ vecs - vecs * eigs.eigenvalues()[None, :]).max()
+    assert resid < 1e-8
+    # complex eigenvectors must be mutually orthogonal — in particular
+    # the two copies of 6.0 are not the same J-orbit re-reported
+    G = vecs.conj().T @ vecs
+    assert np.abs(G - np.diag(np.diag(G))).max() < 1e-8
+
+
+def test_j_structured_factorization_invariants():
+    """The embedded Lanczos basis satisfies V^T V = I  and  V^T J V = 0
+    (complex-linear independence), plus the Krylov relation."""
+    import jax
+
+    from spectra_tpu.linalg import krylov
+    from spectra_tpu.matop.arnoldi_op import ArnoldiOp, JStructuredArnoldiOp
+    from spectra_tpu.matop.herm_embed import RealEmbeddedHermMatProd
+    from spectra_tpu.util.rng import SimpleRandom
+
+    n, m = 40, 12
+    A = _rand_herm(n, seed=5)
+    op = RealEmbeddedHermMatProd.create(A)
+    arnop = ArnoldiOp.create(op)
+    assert isinstance(arnop, JStructuredArnoldiOp)
+    v0 = SimpleRandom(0).random_vec(2 * n)
+    state = krylov.init(arnop, v0, m, jax.random.key(0))
+    state = krylov.factorize_from(arnop, state, 1, "lanczos")
+    V = np.asarray(state.V)
+    H = np.asarray(state.H)
+    f = np.asarray(state.f)
+    JV = np.asarray(op.j_map(state.V))
+    assert np.abs(V.T @ V - np.eye(m)).max() < 1e-12
+    assert np.abs(V.T @ JV).max() < 1e-12
+    E = np.block(
+        [[np.real(A), -np.imag(A)], [np.imag(A), np.real(A)]]
+    )
+    lhs = E @ V
+    rhs = V @ H + np.outer(f, np.eye(m)[-1])
+    assert np.abs(lhs - rhs).max() < 1e-11

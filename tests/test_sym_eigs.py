@@ -157,8 +157,14 @@ def test_eigenvalue_multiplicity_cycle_laplacian(k, m):
     np.testing.assert_allclose(vals, w[-k:], atol=1e-9)
 
 
-def test_restart_chunk_bitwise_identical():
-    """Segmented restarts reproduce the single-shot run exactly."""
+def test_restart_chunk_bitwise_identical(monkeypatch):
+    """Segmented restarts reproduce the single-shot run exactly.
+
+    Pins the jitted driver: segmentation is a property of the compiled
+    path, while an unchunked solve would otherwise auto-route to the
+    native dense driver (equal to ~1e-14, not bitwise).
+    """
+    monkeypatch.setenv("SPECTRA_TPU_DENSE_DRIVER", "jax")
     A = _sym_matrix(300)
     from spectra_tpu.util.rng import SimpleRandom
 
