@@ -103,16 +103,16 @@ def _bench_spmv_host(A, v0, repeats=20):
     return A.nnz / dt, dt
 
 
-def _solve_ours_shift_invert(A, k, m, v0, sigma=0.0):
+def _solve_ours_shift_invert(A, k, m, v0, sigma=0.0, method="auto", chunk=20):
     import spectra_tpu as st
 
     t0 = time.perf_counter()
-    op = st.SparseSymShiftSolve.create(A).set_shift(sigma)
+    op = st.SparseSymShiftSolve.create(A, method=method).set_shift(sigma)
     t_factor = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     eigs = st.SymEigsShiftSolver.from_factored(op, k, m, sigma)
-    eigs.set_restart_chunk(20)
+    eigs.set_restart_chunk(chunk)
     eigs.init(v0)
     nconv = eigs.compute(st.SortRule.LargestMagn, maxit=200, tol=1e-10)
     t_solve = time.perf_counter() - t0
@@ -274,6 +274,26 @@ def main():
     }
     from spectra_tpu.util.capabilities import host_callbacks_supported
 
+    details_path = os.path.join(os.path.dirname(__file__), "bench_details.json")
+
+    def _flush():
+        with open(details_path, "w") as f:
+            json.dump(details, f, indent=2)
+
+    try:
+        details["dense_n1000_k3"] = _bench_dense_config()
+    except Exception as err:
+        details["dense_n1000_k3"] = {"error": repr(err)}
+    _flush()
+    try:
+        details["chebyshev_1M_k10_largest"] = _bench_chebyshev(A, v0)
+    except Exception as err:
+        details["chebyshev_1M_k10_largest"] = {"error": repr(err)}
+    _flush()
+
+    # Shift-invert at n=1e6 LAST: on the remote accelerator a long
+    # inner-solve execution can crash the worker (recovery takes
+    # minutes to hours), which must not cost the other details above.
     if host_callbacks_supported():
         try:
             details["shift_invert_1M_k10"] = {
@@ -283,23 +303,44 @@ def main():
         except Exception as err:  # keep the headline metric robust
             details["shift_invert_1M_k10"] = {"error": repr(err)}
     else:
-        details["shift_invert_1M_k10"] = {
-            "skipped": "runtime without host callbacks: the direct "
-            "SuperLU inner solve is unavailable and an iterative inner "
-            "solve at n=1e6 x tol=1e-12 is impractical for a timed "
-            "benchmark (see BASELINE.md)"
-        }
-    try:
-        details["dense_n1000_k3"] = _bench_dense_config()
-    except Exception as err:
-        details["dense_n1000_k3"] = {"error": repr(err)}
-    try:
-        details["chebyshev_1M_k10_largest"] = _bench_chebyshev(A, v0)
-    except Exception as err:
-        details["chebyshev_1M_k10_largest"] = {"error": repr(err)}
-
-    with open(os.path.join(os.path.dirname(__file__), "bench_details.json"), "w") as f:
-        json.dump(details, f, indent=2)
+        # Callback-free accelerator: fully on-device shift-invert — the
+        # inner (A - sigma I)^{-1} is a compiled MINRES over the DIA
+        # stencil, tolerance-coupled to the outer tol (round-1 'skipped'
+        # item closed; reference precedent for an iterative inverse op:
+        # SparseRegularInverse.h:105-116). Subprocess + timeout: a
+        # worker crash poisons the JAX client of the process it
+        # happens in.
+        try:
+            out = subprocess.run(
+                [
+                    sys.executable,
+                    os.path.join(
+                        os.path.dirname(__file__),
+                        "scripts",
+                        "tpu_shift_invert_1m.py",
+                    ),
+                    "1000",
+                ],
+                timeout=2400,
+                capture_output=True,
+                text=True,
+            )
+            rec = None
+            for line in out.stdout.splitlines():
+                if line.startswith("{"):
+                    rec = json.loads(line)
+            if rec is None:
+                raise RuntimeError(
+                    f"no result line; stderr tail: {out.stderr[-500:]}"
+                )
+            details["shift_invert_1M_k10"] = {
+                "ours": rec,
+                "inner_solver": "on-device MINRES (DIA stencil), "
+                "inner rtol coupled to outer tol",
+            }
+        except Exception as err:
+            details["shift_invert_1M_k10"] = {"error": repr(err)[:800]}
+    _flush()
 
 
 if __name__ == "__main__":

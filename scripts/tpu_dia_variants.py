@@ -201,22 +201,24 @@ def main():
         except Exception as e:  # noqa: BLE001
             print(f"{name:22s} FAILED: {type(e).__name__}: {e}", flush=True)
 
-    report("xla", dm.matvec)
-    report("pallas_cur", lambda v: dia_spmv_pallas(data, offsets, v))
-    report(
-        "pallas_cur_c131072",
-        lambda v: dia_spmv_pallas(data, offsets, v, chunk=131072),
-    )
-    report(
-        "pallas_noshift",
-        lambda v: dia_noshift(data, offsets, v),
-        check=False,
-    )
+    variants = {
+        "xla": (dm.matvec, True),
+        "pallas_cur": (lambda v: dia_spmv_pallas(data, offsets, v), True),
+        "pallas_cur_c131072": (
+            lambda v: dia_spmv_pallas(data, offsets, v, chunk=131072),
+            True,
+        ),
+        "pallas_noshift": (lambda v: dia_noshift(data, offsets, v), False),
+    }
     for rows in (256, 512, 1024, 2048):
-        report(
-            f"pallas_roll2d_r{rows}",
+        variants[f"pallas_roll2d_r{rows}"] = (
             lambda v, rows=rows: dia_roll2d(data, offsets, v, rows=rows),
+            True,
         )
+    names = sys.argv[1:] or list(variants)
+    for name in names:
+        fn, check = variants[name]
+        report(name, fn, check=check)
 
 
 if __name__ == "__main__":

@@ -34,9 +34,13 @@ import jax
 import jax.numpy as jnp
 
 
-def gershgorin_upper(ell) -> jnp.ndarray:
-    """Upper bound on the spectral radius from the ELL row sums."""
-    return jnp.max(jnp.sum(jnp.abs(ell.vals), axis=1))
+def gershgorin_upper(sp) -> jnp.ndarray:
+    """Upper bound on the spectral radius from row sums of |A|
+    (ELL ``vals`` is row-major; DIA ``data`` is row-aligned, so the
+    per-row absolute sum is the column sum over diagonals)."""
+    if hasattr(sp, "vals"):
+        return jnp.max(jnp.sum(jnp.abs(sp.vals), axis=1))
+    return jnp.max(jnp.sum(jnp.abs(sp.data), axis=0))
 
 
 def chebyshev_inverse_apply(matvec, b, alpha, beta, degree: int):

@@ -56,10 +56,13 @@ class SparseRegularInverse:
         is poisoned to NaN so the driver reports NumericalIssue
         (reference throws on CG failure,
         SparseRegularInverse.h:105-116)."""
+        from spectra_tpu.matop.precond import gershgorin_upper
         from spectra_tpu.matop.shift_solve import _poison_if_unconverged
 
         eps = dtypes.eps(self.ell.dtype)
         y, _ = jax.scipy.sparse.linalg.cg(
             self.ell.matvec, x, tol=np.sqrt(eps) * 1e-3, maxiter=self.cg_maxiter
         )
-        return _poison_if_unconverged(self.ell.matvec, y, x, accept_rel=1e-7)
+        return _poison_if_unconverged(
+            self.ell.matvec, y, x, gershgorin_upper(self.ell), accept_bw=1e-8
+        )

@@ -255,17 +255,29 @@ def couple_inner_tolerance(obj, outer_tol: float):
     return obj
 
 
-def _poison_if_unconverged(mv, y, b, accept_rel=1e-9):
-    """Replace an iterative solve's result with NaN when its relative
-    residual exceeds ``accept_rel``. A silently inaccurate inner solve
-    would otherwise produce plausible-looking but wrong eigenpairs;
-    NaNs propagate to the driver, which reports
-    ``CompInfo.NumericalIssue`` — the loud-failure analogue of the
-    reference throwing on CG non-convergence
-    (SparseRegularInverse.h:114-115)."""
+def _poison_if_unconverged(mv, y, b, op_norm, accept_bw=1e-10):
+    """Replace an iterative solve's result with NaN when its
+    **backward error** ``|b - A y| / (|A| |y| + |b|)`` exceeds
+    ``accept_bw``. A silently failed inner solve would otherwise
+    produce plausible-looking but wrong eigenpairs; NaNs propagate to
+    the driver, which reports ``CompInfo.NumericalIssue`` — the
+    loud-failure analogue of the reference throwing on CG
+    non-convergence (SparseRegularInverse.h:114-115).
+
+    Backward error, not the forward relative residual: for an
+    ill-conditioned shifted system the *forward* floor is ~kappa*eps
+    relative to |b| (e.g. ~1e-8 for the 1M Laplacian at sigma=0 with
+    smooth right-hand sides), while a converged Krylov solve still has
+    backward error at the eps level — i.e. it solves ``(A + dA) y = b``
+    with ``|dA| ~ eps |A|``, exactly the guarantee a direct
+    factorization gives. Measured on the v5e (emulated f64, n=250k,
+    kappa~1e5): backward errors 9.5e-15..7.1e-13 where forward
+    residuals range 2e-10..8.3e-9. ``op_norm`` is any upper bound on
+    |A| (Gershgorin)."""
     bnorm = jnp.linalg.norm(b)
-    resid = jnp.linalg.norm(mv(y) - b) / jnp.maximum(bnorm, 1e-300)
-    return jnp.where(resid <= accept_rel, y, jnp.full_like(y, jnp.nan))
+    resid = jnp.linalg.norm(mv(y) - b)
+    scale = op_norm * jnp.linalg.norm(y) + jnp.maximum(bnorm, 1e-300)
+    return jnp.where(resid <= accept_bw * scale, y, jnp.full_like(y, jnp.nan))
 
 
 class _HostLUSolver:
@@ -396,8 +408,14 @@ class SparseShiftSolveBase:
                     else jax.scipy.sparse.linalg.bicgstab
                 )
                 y, _ = solve(mv, b, tol=rtol, maxiter=maxiter)
+            from spectra_tpu.matop.precond import gershgorin_upper
+
             y = _poison_if_unconverged(
-                mv, y, b, accept_rel=max(1e3 * rtol, 1e-9)
+                mv,
+                y,
+                b,
+                gershgorin_upper(self.shifted),
+                accept_bw=max(1e2 * rtol, 1e-10),
             )
         if self.out_real:
             return jnp.real(y).astype(self.dtype)
@@ -446,10 +464,18 @@ def _build_sparse_shift(
         return SparseShiftSolveBase(
             shifted=None, solver=solver, n=n, method="splu", out_real=out_real
         )
-    from spectra_tpu.sparse.formats import ell_from_scipy
+    from spectra_tpu.sparse.formats import (
+        dia_from_scipy,
+        dia_suitability,
+        ell_from_scipy,
+    )
 
+    # Banded matrices (stencils): the gather-free DIA matvec is the
+    # difference between a practical and an impractical inner solve at
+    # n ~ 1e6 (~100 us vs several ms per SpMV on a v5e).
+    to_device = dia_from_scipy if dia_suitability(shifted) else ell_from_scipy
     return SparseShiftSolveBase(
-        shifted=ell_from_scipy(shifted),
+        shifted=to_device(shifted),
         solver=None,
         n=n,
         method=method,

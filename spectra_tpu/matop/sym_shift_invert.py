@@ -91,6 +91,7 @@ class _IterativeShiftedSolve:
 
     def perform_op(self, x):
         from spectra_tpu.linalg.minres import minres
+        from spectra_tpu.matop.precond import gershgorin_upper
         from spectra_tpu.matop.shift_solve import _poison_if_unconverged
 
         # A - sigma B is symmetric indefinite: MINRES is the right
@@ -98,7 +99,9 @@ class _IterativeShiftedSolve:
         y, _ = minres(
             self.ell.matvec, x, rtol=1e-12, maxiter=min(self.maxiter, 20000)
         )
-        return _poison_if_unconverged(self.ell.matvec, y, x)
+        return _poison_if_unconverged(
+            self.ell.matvec, y, x, gershgorin_upper(self.ell)
+        )
 
 
 class SymShiftInvert:

@@ -24,7 +24,10 @@ from spectra_tpu.parallel.mesh import (
     shard_operator,
     shard_problem,
 )
-from spectra_tpu.parallel.stencil_spmv import ShardedStencilMatProd
+from spectra_tpu.parallel.stencil_spmv import (
+    ShardedStencilMatProd,
+    sharded_stencil_shift_solve,
+)
 from spectra_tpu.parallel.halo_spmv import (
     HaloPlan,
     ShardedEllMatProd,
@@ -39,6 +42,7 @@ __all__ = [
     "shard_operator",
     "shard_problem",
     "ShardedStencilMatProd",
+    "sharded_stencil_shift_solve",
     "ShardedEllMatProd",
     "HaloPlan",
     "plan_halo_partition",

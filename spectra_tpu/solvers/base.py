@@ -247,6 +247,12 @@ class HermEigsBase:
                 )
                 if int(nconv) >= self._nev or int(restarts) < budget:
                     break
+                if not np.isfinite(beta):
+                    # A poisoned inner solve (NaN, see shift_solve.
+                    # _poison_if_unconverged) contaminates every later
+                    # restart identically — fail loud now instead of
+                    # burning the remaining budget.
+                    break
             self._carry = carry
             res = irlm_finalize(
                 carry,

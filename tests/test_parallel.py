@@ -122,6 +122,58 @@ class TestHaloStencilSpMV:
         y2 = np.asarray(jax.jit(lambda v: op.perform_op(op.perform_op(v)))(xs))
         np.testing.assert_allclose(y2, A @ (A @ x), atol=1e-12)
 
+    def test_interior_compute_independent_of_halo_exchange(self):
+        """Comm/compute overlap by construction: in the compiled HLO the
+        bulk interior multiply must not consume any collective-permute
+        result (only the O(halo) boundary corrections join after the
+        exchange), and the ppermutes must ship boundary slices, not the
+        whole shard. On TPU, XLA's latency-hiding scheduler turns
+        exactly this dependence structure into collective-permute-
+        start/done pairs with the interior fusion scheduled in between
+        (see docs/SCALING.md)."""
+        import re
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from spectra_tpu.parallel.stencil_spmv import make_stencil_matvec
+
+        mesh = row_mesh(8)
+        offsets = (-128, -1, 0, 1, 128)
+        n = 8 * 1024
+        mv = make_stencil_matvec(mesh, offsets)
+        f = jax.jit(
+            mv,
+            in_shardings=(
+                NamedSharding(mesh, P(None, "rows")),
+                NamedSharding(mesh, P("rows")),
+            ),
+        )
+        data = jax.numpy.ones((len(offsets), n))
+        x = jax.numpy.ones((n,))
+        hlo = f.lower(data, x).compile().as_text()
+
+        permute_ids = set()
+        interior_ops = []
+        for line in hlo.splitlines():
+            m = re.match(r"\s*(ROOT )?%?([\w.\-]+) = ", line)
+            if not m:
+                continue
+            name = m.group(2)
+            if "collective-permute(" in line:
+                permute_ids.add(name)
+                # operands are the (128,)-element boundary slices
+                shapes = re.findall(r"f64\[(\d+)\]", line)
+                assert shapes and all(int(s) <= 128 for s in shapes)
+            if "multiply_add_fusion" in name:
+                interior_ops.append(line)
+        assert permute_ids and interior_ops
+        for line in interior_ops:
+            operands = set(re.findall(r"%([\w.\-]+)", line)[1:])
+            assert not (operands & permute_ids), (
+                "interior multiply depends on a collective-permute: "
+                + line
+            )
+
     def test_solver_matches_unsharded(self):
         from spectra_tpu.sparse import dia_from_scipy
         from spectra_tpu.parallel.stencil_spmv import ShardedStencilMatProd
@@ -255,6 +307,34 @@ class TestHaloEllSpMV:
 
 
 @requires_multidevice
+def test_sharded_shift_invert_solver():
+    """Distributed shift-invert: inner MINRES over the halo-exchange
+    stencil SpMV, whole eigensolve with row-sharded vectors — matches
+    the analytic spectrum of the 2-D Laplacian near sigma=0."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from spectra_tpu.parallel import sharded_stencil_shift_solve
+
+    g = 16
+    A = _laplacian_2d(g)
+    mesh = row_mesh(8)
+    op = sharded_stencil_shift_solve(A, 0.0, mesh)
+    eigs = st.SymEigsShiftSolver.from_factored(op, 4, 16, 0.0)
+    v0 = SimpleRandom(0).random_vec(g * g)
+    eigs.init(
+        jax.device_put(
+            jax.numpy.asarray(v0), NamedSharding(mesh, P("rows"))
+        )
+    )
+    nconv = eigs.compute(st.SortRule.LargestMagn, tol=1e-10)
+    assert nconv == 4 and eigs.info() == st.CompInfo.Successful
+    vals = np.sort(np.asarray(eigs.eigenvalues()))
+    i = np.arange(1, g + 1)
+    mu = 4 * np.sin(np.pi * i / (2 * (g + 1))) ** 2
+    lam = np.sort((mu[:, None] + mu[None, :]).ravel())[:4]
+    np.testing.assert_allclose(vals, lam, atol=1e-9)
+
+
 def test_stencil_block_matvec():
     """The stencil op ships a block through one halo exchange."""
     from jax.sharding import PartitionSpec as P, NamedSharding

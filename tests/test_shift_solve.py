@@ -124,6 +124,30 @@ class TestSymEigsShiftSolver:
         closest = w[np.argsort(np.abs(w))[:k]]
         np.testing.assert_allclose(np.sort(vals), np.sort(closest), atol=1e-8)
 
+    def test_sparse_banded_iterative_uses_dia(self):
+        """Banded matrices route the iterative inner solve through the
+        gather-free DIA matvec (at n~1e6 this is the difference between
+        a practical and an impractical shift-invert, see bench.py) and
+        still converge to the reference accuracy."""
+        import scipy.sparse as sps
+
+        from spectra_tpu.sparse.formats import DiaMatrix
+
+        g = 16  # n = 256, 2-D Laplacian: 5-diagonal stencil
+        lap1 = sps.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(g, g))
+        A = (sps.kron(sps.eye(g), lap1) + sps.kron(lap1, sps.eye(g))).tocsr()
+        op = st.SparseSymShiftSolve.create(A, method="minres")
+        assert isinstance(op.set_shift(0.0).shifted, DiaMatrix)
+        eigs = st.SymEigsShiftSolver(op, nev=4, ncv=16, sigma=0.0)
+        eigs.init()
+        nconv = eigs.compute(st.SortRule.LargestMagn, tol=1e-10)
+        assert nconv == 4 and eigs.info() == st.CompInfo.Successful
+        vals = np.sort(eigs.eigenvalues())
+        i = np.arange(1, g + 1)
+        mu = 4 * np.sin(np.pi * i / (2 * (g + 1))) ** 2
+        lam = np.sort((mu[:, None] + mu[None, :]).ravel())[:4]
+        np.testing.assert_allclose(vals, lam, atol=1e-9)
+
     def test_sorting_of_back_transformed(self):
         """Returned eigenvalues follow `sorting` on lambda, not nu."""
         n = 60
