@@ -335,8 +335,10 @@ def main():
                 )
             details["shift_invert_1M_k10"] = {
                 "ours": rec,
-                "inner_solver": "on-device MINRES (DIA stencil), "
-                "inner rtol coupled to outer tol",
+                "inner_solver": "on-device Chebyshev semi-iteration "
+                "(reduction-free, adaptive interval; DIA stencil), "
+                "inner rtol coupled to outer tol; one inner solve per "
+                "device execution (matvec granularity)",
             }
         except Exception as err:
             details["shift_invert_1M_k10"] = {"error": repr(err)[:800]}

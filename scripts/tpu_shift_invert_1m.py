@@ -28,9 +28,17 @@ def run(g: int):
     v0 = SimpleRandom(0).random_vec(n)
 
     t0 = time.perf_counter()
-    op = st.SparseSymShiftSolve.create(A, method="minres").set_shift(0.0)
+    # Chebyshev semi-iteration inner solve: A - 0*I is SPD; MINRES at
+    # n=1e6 costs ~6.7 ms/iteration on this runtime (reduction latency)
+    # = ~27 s/solve, while the reduction-free semi-iteration runs the
+    # same iteration count at ~0.25 ms/iteration.
+    op = st.SparseSymShiftSolve.create(A, method="cheb").set_shift(0.0)
     eigs = st.SymEigsShiftSolver.from_factored(op, 10, 30, 0.0)
-    eigs.set_restart_chunk(1)
+    # One inner MINRES solve per device execution: a whole restart in
+    # one execution (~20-30 inner solves, each thousands of SpMVs at
+    # n=1e6) exceeds the remote worker's execution watchdog and crashes
+    # it — observed in the round-2 driver bench run.
+    eigs.set_matvec_granularity(True)
     eigs.init(v0)
     nconv = eigs.compute(st.SortRule.LargestMagn, maxit=50, tol=1e-10)
     dt = time.perf_counter() - t0

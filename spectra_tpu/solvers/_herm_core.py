@@ -111,6 +111,18 @@ def _restart_thick(arnop, state, k_new, ncv: int, mode: str, selection: SortRule
     Converges in the same restart class as implicit QR; spectra match
     to solver tolerance, iteration counts may differ slightly.
     """
+    state = _restart_thick_compress(arnop, state, k_new, ncv, selection)
+    return krylov.factorize_from(arnop, state, state.k, mode)
+
+
+def _restart_thick_compress(arnop, state, k_new, ncv: int, selection: SortRule):
+    """Collapse-and-arrow half of the thick restart: one replicated eigh
+    of H, one MXU matmul ``V <- V Y`` (kept columns masked, static
+    shapes), plus the full-projection step that rebuilds the arrow
+    column numerically (h_j = v_j^H A v_k = s_j analytically, with DGKS
+    correction) — one operator application total. Re-expansion of
+    columns k_new+1..ncv-1 is the caller's job: inline in the compiled
+    driver, one device execution per step in the stepped driver."""
     H = state.H
     Hreal = jnp.real(H)
     Hfull = jnp.triu(Hreal) + jnp.triu(Hreal, 1).T
@@ -126,14 +138,12 @@ def _restart_thick(arnop, state, k_new, ncv: int, mode: str, selection: SortRule
     keep_mask = (col < k_new)[None, :]
     V_new = jnp.where(keep_mask, VY, 0.0)
     # The arrow coupling s = beta * Y[m-1, kept] is not written here:
-    # the full-projection step below rebuilds the column numerically
-    # (h_j = v_j^H A v_k = s_j analytically), with DGKS correction.
+    # the full-projection step below rebuilds the column numerically.
     H_new = jnp.zeros_like(H)
     H_new = H_new.at[col, col].set(
         jnp.where(col < k_new, theta, 0.0).astype(H.dtype)
     )
     k_idx = jnp.asarray(k_new, jnp.int32)
-
     state = krylov.KrylovState(
         V=V_new,
         H=H_new,
@@ -143,19 +153,18 @@ def _restart_thick(arnop, state, k_new, ncv: int, mode: str, selection: SortRule
         nops=state.nops,
         key=state.key,
     )
-    # Full-projection step builds the arrow column exactly (the DGKS
-    # loop corrects H[:, k]); mirror it into the row, then resume the
-    # standard recurrence.
     state = krylov.step_once(arnop, state, k_idx, "arnoldi")
     Hc = state.H
     Hc = Hc.at[k_idx, :].set(jnp.conj(Hc[:, k_idx]))
-    state = state._replace(H=Hc)
-    return krylov.factorize_from(arnop, state, k_idx + 1, mode)
+    return state._replace(H=Hc, k=k_idx + 1)
 
 
-def _restart(arnop, state, ritz_val, k_new, nev: int, ncv: int, mode: str):
-    """Implicitly restart: apply the ncv - k unwanted Ritz values as
-    shifts (largest |shift| first), compress to k steps, re-expand."""
+def _restart_compress(arnop, state, ritz_val, k_new, nev: int, ncv: int):
+    """Shift-and-compress half of the implicit restart: apply the
+    ncv - k unwanted Ritz values as shifts (largest |shift| first) and
+    compress to k steps. Re-expansion is the caller's job — the
+    compiled driver runs it inline (:func:`_restart`); the stepped
+    driver replays it one operator application per device execution."""
     rdtype = ritz_val.dtype
 
     # Unwanted = positions >= k_new in the selection order; sort them by
@@ -183,7 +192,13 @@ def _restart(arnop, state, ritz_val, k_new, nev: int, ncv: int, mode: str):
         return jax.lax.cond(j < nshift, apply, lambda HQ: HQ, carry)
 
     H_new, Q = jax.lax.fori_loop(0, ncv - nev, shift_body, (state.H, Q0))
-    state = krylov.compress(arnop, state, Q, H_new, k_new)
+    return krylov.compress(arnop, state, Q, H_new, k_new)
+
+
+def _restart(arnop, state, ritz_val, k_new, nev: int, ncv: int, mode: str):
+    """Implicitly restart: apply the ncv - k unwanted Ritz values as
+    shifts (largest |shift| first), compress to k steps, re-expand."""
+    state = _restart_compress(arnop, state, ritz_val, k_new, nev, ncv)
     state = krylov.factorize_from(arnop, state, k_new, mode)
     return state
 
@@ -298,6 +313,69 @@ def irlm_finalize(
         V=carry.state.V,
         f=carry.state.f,
     )
+
+
+# -- stepped (matvec-granularity) entry points ------------------------
+#
+# For operators whose perform_op is itself a long-running compiled
+# iteration (the on-device MINRES shift-solve at n >= 1e6: thousands of
+# SpMVs per application), restart-level chunking still packs ncv inner
+# solves into ONE device execution — minutes-long executions that trip
+# remote-runtime watchdogs and crash the worker. These entry points let
+# the driver replay the exact same iteration with at most one operator
+# application per execution; the replicated restart algebra (shifts,
+# compress, Ritz extraction) runs as separate, milliseconds-long
+# programs. Same primitive sequence as the compiled driver, host control
+# flow instead of lax loops.
+
+
+@functools.partial(jax.jit, static_argnames=("m",))
+def stepped_init(arnop, v0, key, *, m: int):
+    """The 1-step factorization (two operator applications)."""
+    return krylov.init(arnop, v0, m, key)
+
+
+@functools.partial(jax.jit, static_argnames=("mode",))
+def stepped_step(arnop, state, i, *, mode: str):
+    """One factorization step — exactly one operator application (plus
+    breakdown-restart applications in the rare expand_basis branch)."""
+    return krylov.step_once(arnop, state, i, mode)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nev", "ncv", "selection", "restart_method")
+)
+def stepped_extract(
+    state, tol, restarts, *, nev: int, ncv: int,
+    selection: SortRule, restart_method: str,
+) -> _LoopCarry:
+    """Ritz extraction + convergence count on the replicated H — no
+    operator applications, O(ncv^3) work."""
+    ritz_val, ritz_est, ritz_vec = _retrieve_ritzpair(
+        state.H, selection, nev, full_h=restart_method == "thick"
+    )
+    conv, nconv = _num_converged(ritz_val, ritz_est, state.beta, tol, nev)
+    return _LoopCarry(state, ritz_val, ritz_est, ritz_vec, conv, nconv, restarts)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nev", "ncv", "selection", "restart_method")
+)
+def stepped_restart_compress(
+    arnop, carry: _LoopCarry, *, nev: int, ncv: int,
+    selection: SortRule, restart_method: str,
+):
+    """nev-adjust + shift/compress (implicit) or collapse+arrow (thick).
+    Zero operator applications for implicit, one for thick. Returns the
+    compressed state and the host-fetchable resume column ``state.k``."""
+    k_new = _nev_adjusted(carry.nconv, carry.ritz_est, nev, ncv)
+    if restart_method == "thick":
+        state = _restart_thick_compress(arnop, carry.state, k_new, ncv, selection)
+    else:
+        state = _restart_compress(
+            arnop, carry.state, carry.ritz_val, k_new, nev, ncv
+        )
+    return state, state.k
 
 
 @functools.partial(

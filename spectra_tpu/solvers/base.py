@@ -69,6 +69,7 @@ class HermEigsBase:
         self._result = None
         self._restart_chunk = None
         self._restart_method = "implicit"
+        self._matvec_granularity = False
         self._carry = None
         self._resume_carry = None
 
@@ -138,6 +139,21 @@ class HermEigsBase:
         allow checkpointing between segments."""
         self._restart_chunk = None if chunk is None else int(chunk)
 
+    def set_matvec_granularity(self, on: bool = True):
+        """Bound each device execution to at most ONE operator
+        application. Restart-level chunking (:meth:`set_restart_chunk`)
+        still packs up to ncv operator applications into one execution;
+        when ``perform_op`` is itself a long compiled iteration (the
+        on-device MINRES shift-solve at n >= 1e6 runs thousands of
+        SpMVs per application) that is a minutes-long execution — long
+        enough to trip remote-runtime watchdogs. Matvec granularity
+        replays the identical iteration with host control flow: one
+        step (one inner solve) per execution, with the replicated
+        restart algebra as separate millisecond programs. Costs one
+        dispatch round-trip per step; use only when a single operator
+        application is itself seconds long."""
+        self._matvec_granularity = bool(on)
+
     # -- initialization ------------------------------------------------
     def init(self, init_resid=None):
         """Set the initial residual vector (default: the deterministic
@@ -193,7 +209,9 @@ class HermEigsBase:
                 if res is not None:
                     return self._finish_result(res)
         tol_arr = jnp.asarray(tol, jnp.finfo(self._dtype).dtype)
-        if self._restart_chunk is None:
+        if self._matvec_granularity:
+            res = self._compute_stepped(selection, maxit, tol_arr, sorting)
+        elif self._restart_chunk is None:
             res = irlm_compute(
                 self._arnop,
                 self._v0,
@@ -262,6 +280,85 @@ class HermEigsBase:
                 transform=type(self)._ritz_transform,
             )
         return self._finish_result(res)
+
+    def _compute_stepped(self, selection, maxit, tol_arr, sorting):
+        """Host-driven twin of the compiled restart loop: identical
+        primitive sequence, at most one operator application per device
+        execution (see :meth:`set_matvec_granularity`). All stepped
+        entry points compile once each (step index and restart point are
+        traced)."""
+        from spectra_tpu.solvers import _herm_core as core
+
+        mode = type(self)._mode
+        fixed = dict(
+            nev=self._nev,
+            ncv=self._ncv,
+            selection=selection,
+            restart_method=self._restart_method,
+        )
+        def sync(state):
+            # JAX dispatch is async: without a true host sync every
+            # step of the host loop would enqueue immediately, and the
+            # remote worker would see one continuous minutes-deep queue
+            # — exactly the condition matvec granularity exists to
+            # avoid. A scalar fetch is the only reliable sync on
+            # tunneled PJRT runtimes (block_until_ready can acknowledge
+            # enqueue only); ~25 ms per step, negligible against a
+            # seconds-long inner solve.
+            jax.device_get(state.beta)
+            return state
+
+        state = sync(
+            core.stepped_init(
+                self._arnop, self._v0, jax.random.PRNGKey(0), m=self._ncv
+            )
+        )
+        for i in range(1, self._ncv):
+            state = sync(
+                core.stepped_step(
+                    self._arnop, state, jnp.asarray(i, jnp.int32), mode=mode
+                )
+            )
+        carry = core.stepped_extract(
+            state, tol_arr, jnp.asarray(0, jnp.int32), **fixed
+        )
+        self._history = []
+        restarts = 0
+        while True:
+            nconv, beta = jax.device_get((carry.nconv, carry.state.beta))
+            self._history.append(
+                {
+                    "restarts": restarts,
+                    "nconv": int(nconv),
+                    "f_norm": float(beta),
+                }
+            )
+            if int(nconv) >= self._nev or restarts >= maxit:
+                break
+            if not np.isfinite(beta):
+                # NaN-poisoned inner solve: fail loud, don't burn budget.
+                break
+            state, k_resume = core.stepped_restart_compress(
+                self._arnop, carry, **fixed
+            )
+            for i in range(int(k_resume), self._ncv):
+                state = sync(
+                    core.stepped_step(
+                        self._arnop, state, jnp.asarray(i, jnp.int32), mode=mode
+                    )
+                )
+            restarts += 1
+            carry = core.stepped_extract(
+                state, tol_arr, jnp.asarray(restarts, jnp.int32), **fixed
+            )
+        self._carry = carry
+        return core.irlm_finalize(
+            carry,
+            self._transform_aux(),
+            nev=self._nev,
+            sorting=sorting,
+            transform=type(self)._ritz_transform,
+        )
 
     def _finish_result(self, res) -> int:
         res = jax.tree_util.tree_map(fetch_result_leaf, res)

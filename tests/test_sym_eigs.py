@@ -184,6 +184,73 @@ def test_restart_chunk_bitwise_identical(monkeypatch):
     )
 
 
+@pytest.mark.parametrize("restart_method", ["implicit", "thick"])
+def test_matvec_granularity_matches_compiled(monkeypatch, restart_method):
+    """The stepped (one-operator-application-per-execution) driver
+    replays the compiled restart loop's decisions exactly: same restart
+    count, same matvec count, same eigenpairs. This is the execution
+    mode that keeps remote-runtime executions watchdog-safe when each
+    operator application is itself an expensive inner solve."""
+    monkeypatch.setenv("SPECTRA_TPU_DENSE_DRIVER", "jax")
+    A = _sym_matrix(300)
+    from spectra_tpu.util.rng import SimpleRandom
+
+    v0 = SimpleRandom(0).random_vec(300)
+    op = st.DenseSymMatProd.create(A)
+
+    ref = st.SymEigsSolver(op, nev=6, ncv=12)
+    ref.set_restart_method(restart_method)
+    ref.init(v0)
+    ref.compute(SortRule.LargestMagn)
+
+    stepped = st.SymEigsSolver(op, nev=6, ncv=12)
+    stepped.set_restart_method(restart_method)
+    stepped.set_matvec_granularity(True)
+    stepped.init(v0)
+    nconv = stepped.compute(SortRule.LargestMagn)
+
+    assert stepped.info() == CompInfo.Successful
+    assert nconv == 6
+    assert stepped.num_iterations() == ref.num_iterations()
+    assert stepped.num_operations() == ref.num_operations()
+    np.testing.assert_allclose(
+        stepped.eigenvalues(), ref.eigenvalues(), rtol=0, atol=1e-10
+    )
+    resid = np.abs(
+        A @ np.asarray(stepped.eigenvectors())
+        - np.asarray(stepped.eigenvectors()) * np.asarray(stepped.eigenvalues())
+    ).max()
+    assert resid < 1e-9
+
+
+def test_matvec_granularity_shift_invert():
+    """Stepped execution through the sparse shift-invert operator (the
+    intended production pairing: each execution = one inner solve)."""
+    import scipy.sparse as sps
+
+    g = 30
+    # Anisotropic weights keep the spectrum simple (the isotropic grid
+    # has degenerate pairs lambda(i,j) = lambda(j,i), which
+    # single-vector Lanczos resolves one copy of).
+    lap1 = sps.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(g, g))
+    A = (sps.kron(sps.eye(g), lap1) + 1.37 * sps.kron(lap1, sps.eye(g))).tocsr()
+    n = A.shape[0]
+    from spectra_tpu.util.rng import SimpleRandom
+
+    v0 = SimpleRandom(0).random_vec(n)
+    op = st.SparseSymShiftSolve.create(A, method="minres").set_shift(0.0)
+    eigs = st.SymEigsShiftSolver.from_factored(op, 4, 12, 0.0)
+    eigs.set_matvec_granularity(True)
+    eigs.init(v0)
+    nconv = eigs.compute(SortRule.LargestMagn, maxit=100, tol=1e-8)
+    assert nconv == 4
+    vals = np.sort(np.asarray(eigs.eigenvalues()))
+    i = np.arange(1, g + 1)
+    mu = 4 * np.sin(np.pi * i / (2 * (g + 1))) ** 2
+    lam = np.sort((mu[:, None] + 1.37 * mu[None, :]).ravel())[:4]
+    np.testing.assert_allclose(vals, lam, rtol=1e-7)
+
+
 def test_checkpoint_resume_identical(tmp_path):
     """An interrupted + resumed run equals the uninterrupted run
     (SURVEY.md section 5: checkpoint/resume for preemptible chips)."""
