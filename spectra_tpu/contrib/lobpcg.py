@@ -85,8 +85,14 @@ class LOBPCGSolver:
     def _apply_B(self, X):
         return X if self._B is None else self._B(X)
 
-    def _b_orthonormalize(self, X):
-        """B-orthonormalize the columns of X via Cholesky of X^H B X."""
+    def _b_orthonormalize(self, X, _attempt: int = 0):
+        """B-orthonormalize the columns of X via Cholesky of X^H B X.
+
+        Rank-deficient blocks (duplicate/converged-to-parallel residual
+        columns) make the Cholesky fail; one rank-revealing recovery
+        pass replaces the near-null directions with deterministic
+        random guards and retries — basis-drop recovery beyond the
+        P-reset (the reference's contrib solver simply fails here)."""
         BX = self._apply_B(X)
         G = jnp.conj(X).T @ BX
         G = 0.5 * (G + jnp.conj(G).T)
@@ -95,7 +101,24 @@ class LOBPCGSolver:
         Xo = jnp.conj(
             jax.scipy.linalg.solve_triangular(L, jnp.conj(X).T, lower=True)
         ).T
-        return Xo, jnp.all(jnp.isfinite(Xo))
+        ok = jnp.all(jnp.isfinite(Xo))
+        if bool(ok) or _attempt >= 1:
+            return Xo, ok
+        # Rank-revealing recovery: rotate into the Gram eigenbasis
+        # (ascending — worst-conditioned directions first), replace the
+        # numerically-null ones with deterministic random guards.
+        s, U = jnp.linalg.eigh(G)
+        n = X.shape[0]
+        thresh = jnp.abs(s[-1]) * 1e-12
+        k_bad = int(jnp.sum(~(s > thresh)))
+        if k_bad == 0 or k_bad >= X.shape[1]:
+            return Xo, jnp.asarray(False)
+        Xr = np.array(X @ U)  # copy: np.asarray of a jax buffer is read-only
+        guard = np.random.RandomState(1234 + _attempt).normal(
+            size=(n, k_bad)
+        )
+        Xr[:, :k_bad] = guard / np.linalg.norm(guard, axis=0)
+        return self._b_orthonormalize(jnp.asarray(Xr), _attempt + 1)
 
     def _deflate(self, R):
         if self._Y is None:
@@ -189,8 +212,22 @@ class LOBPCGSolver:
             # Generalized Rayleigh-Ritz via B-Cholesky whitening.
             L = jnp.linalg.cholesky(gramB)
             if not bool(jnp.all(jnp.isfinite(L))):
-                # Drop P and retry with the 2-block space next round.
-                P, AP = None, None
+                if P is not None:
+                    # Drop P and retry with the 2-block space next round.
+                    P, AP = None, None
+                    continue
+                # Even [X, W] is B-degenerate: rebuild X from scratch
+                # through the rank-revealing orthonormalization instead
+                # of burning the remaining budget on identical failures.
+                X, ok = self._b_orthonormalize(X)
+                if not bool(ok):
+                    self._info = CompInfo.NumericalIssue
+                    break
+                AX = self._A(X)
+                H = jnp.conj(X).T @ AX
+                H = 0.5 * (H + jnp.conj(H).T)
+                theta, C = jnp.linalg.eigh(H)
+                X, AX = X @ C, AX @ C
                 continue
             Linv = jnp.linalg.inv(L)
             Aw = Linv @ gramA @ jnp.conj(Linv).T

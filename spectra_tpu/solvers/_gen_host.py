@@ -32,6 +32,7 @@ from spectra_tpu.util.selection import SortRule, argsort_np
 
 _init_jit = jax.jit(krylov.init, static_argnums=(2,))
 _fact_jit = jax.jit(krylov.factorize_from, static_argnames=("mode",))
+_step_jit = jax.jit(krylov.step_once, static_argnames=("mode",))
 _compress_jit = jax.jit(krylov.compress)
 _dsq_jit = jax.jit(double_shift_qr)
 _hqr_jit = jax.jit(hessenberg_qr)
@@ -73,14 +74,31 @@ def iram_compute_host(
     selection: SortRule,
     sorting: SortRule,
     transform=None,
+    matvec_granularity: bool = False,
 ) -> IRAMResult:
-    """Full IRAM with host-side complex bookkeeping (real matrices)."""
+    """Full IRAM with host-side complex bookkeeping (real matrices).
+
+    ``matvec_granularity`` replays factorize_from one step per device
+    execution with a true host sync per step (same watchdog contract
+    as ``HermEigsBase.set_matvec_granularity`` — for operators whose
+    perform_op is itself a long compiled inner solve)."""
     rdtype = np.dtype(jnp.finfo(v0.dtype).dtype)
     eps23 = dtypes.eps23(rdtype)
     cpu = cpu_device()
 
+    def _factorize(state, from_k: int):
+        if not matvec_granularity:
+            return _fact_jit(arnop, state, from_k, "arnoldi")
+        state_k = state
+        for i in range(max(int(from_k), 1), ncv):
+            state_k = _step_jit(
+                arnop, state_k, jnp.asarray(i, jnp.int32), mode="arnoldi"
+            )
+            jax.device_get(state_k.beta)  # true sync: bound the queue
+        return state_k._replace(k=jnp.asarray(ncv, jnp.int32))
+
     state = _init_jit(arnop, v0, ncv, key)
-    state = _fact_jit(arnop, state, 1, "arnoldi")
+    state = _factorize(state, 1)
 
     niter = 0
     for it in range(maxit + 1):
@@ -121,7 +139,7 @@ def iram_compute_host(
         state = _compress_jit(
             arnop, state, jnp.asarray(Q), jnp.asarray(H_new), k_new
         )
-        state = _fact_jit(arnop, state, k_new, "arnoldi")
+        state = _factorize(state, k_new)
 
     vals = ritz_val[:nev]
     if transform is not None:

@@ -56,6 +56,18 @@ class GenEigsBase(HermEigsBase):
         self._result = None
         self._restart_chunk = None
         self._restart_method = "implicit"
+        self._matvec_granularity = False
+
+    def set_matvec_granularity(self, on: bool = True):
+        """Bound each device execution to at most ONE operator
+        application (same contract as the symmetric drivers'
+        :meth:`HermEigsBase.set_matvec_granularity`): routes compute()
+        through the host-driven IRAM with per-step factorization and a
+        true host sync per step. For operators whose ``perform_op`` is
+        itself a long compiled inner iteration (sparse shift-invert
+        BiCGStab at n >= 1e6), where one restart per execution already
+        exceeds remote-runtime watchdogs."""
+        self._matvec_granularity = bool(on)
 
     def set_restart_method(self, method: str):
         """``"implicit"`` (default): ARPACK-style shifted-QR restarts,
@@ -91,7 +103,7 @@ class GenEigsBase(HermEigsBase):
                 return self._finish_result(res)
         if self._restart_method == "krylov_schur":
             return self._compute_ks(selection, maxit, tol, sorting)
-        if self._use_host_driver():
+        if self._matvec_granularity or self._use_host_driver():
             return self._compute_host(selection, maxit, tol, sorting)
         tol_arr = jnp.asarray(tol, jnp.finfo(self._dtype).dtype)
         if self._restart_chunk is None:
@@ -226,6 +238,7 @@ class GenEigsBase(HermEigsBase):
                 selection=selection,
                 sorting=sorting,
                 transform=type(self)._ritz_transform,
+                matvec_granularity=self._matvec_granularity,
             )
         )
 

@@ -141,3 +141,31 @@ def test_lobpcg_soft_locking_saves_matvecs():
     # Locking must not cost extra matvecs; on this clustered grid
     # problem it saves some (early-converged columns leave W).
     assert counts[True] <= counts[False]
+
+
+def test_lobpcg_rank_deficient_guess_recovers():
+    """A rank-deficient initial block (duplicated columns) must not
+    abort with NumericalIssue: the rank-revealing recovery in
+    _b_orthonormalize replaces null directions with guard vectors (the
+    reference's contrib solver fails outright on a singular Gram)."""
+    import numpy as np
+    import scipy.sparse as sps
+
+    from spectra_tpu.contrib.lobpcg import LOBPCGSolver
+    from spectra_tpu.util.compinfo import CompInfo
+
+    g = 12
+    lap1 = sps.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(g, g))
+    A = (sps.kron(sps.eye(g), lap1) + sps.kron(lap1, sps.eye(g))).tocsr()
+    n = A.shape[0]
+    rng = np.random.default_rng(3)
+    X0 = rng.standard_normal((n, 4))
+    X0[:, 1] = X0[:, 0]  # exactly dependent pair
+    X0[:, 3] = 2.0 * X0[:, 2]
+
+    s = LOBPCGSolver(A, X0)
+    nconv = s.compute(maxit=200, tol_div_n=1e-10)
+    assert s.info() == CompInfo.Successful
+    assert nconv == 4
+    w = np.sort(np.linalg.eigvalsh(A.toarray()))[:4]
+    np.testing.assert_allclose(np.sort(s.eigenvalues()), w, atol=1e-6)

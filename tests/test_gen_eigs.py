@@ -123,3 +123,33 @@ class TestBounds:
             st.GenEigsSolver(op, nev=9, ncv=10)
         with pytest.raises(ValueError):
             st.GenEigsSolver(op, nev=3, ncv=4)
+
+
+def test_gen_matvec_granularity_matches_host_driver(monkeypatch):
+    """Gen-side stepped execution (one operator application per device
+    execution) replays the host-driven IRAM's decisions exactly."""
+    A = _rand_mat(200)
+    from spectra_tpu.util.rng import SimpleRandom
+
+    v0 = SimpleRandom(0).random_vec(200)
+    monkeypatch.setenv("SPECTRA_TPU_GEN_DRIVER", "host")
+    monkeypatch.setenv("SPECTRA_TPU_DENSE_DRIVER", "jax")
+
+    ref = st.GenEigsSolver(st.DenseGenMatProd.create(A), nev=4, ncv=12)
+    ref.init(v0)
+    ref.compute(st.SortRule.LargestMagn)
+
+    stepped = st.GenEigsSolver(st.DenseGenMatProd.create(A), nev=4, ncv=12)
+    stepped.set_matvec_granularity(True)
+    stepped.init(v0)
+    nconv = stepped.compute(st.SortRule.LargestMagn)
+
+    assert nconv == 4
+    assert stepped.num_iterations() == ref.num_iterations()
+    assert stepped.num_operations() == ref.num_operations()
+    np.testing.assert_allclose(
+        np.sort_complex(stepped.eigenvalues()),
+        np.sort_complex(ref.eigenvalues()),
+        rtol=0,
+        atol=1e-10,
+    )
