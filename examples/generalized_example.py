@@ -2,6 +2,12 @@
 
 import numpy as np
 
+import os
+import sys
+
+# Runnable straight from a checkout: put the repo root on the path.
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
 import spectra_tpu as st
 
 

@@ -10,6 +10,12 @@ import scipy.sparse as sps
 
 import jax
 
+import os
+import sys
+
+# Runnable straight from a checkout: put the repo root on the path.
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
 import spectra_tpu as st
 from spectra_tpu.parallel import row_mesh, shard_problem
 from spectra_tpu.util.rng import SimpleRandom

@@ -4,6 +4,12 @@ sparse symmetric matrix closest to a target sigma."""
 import numpy as np
 import scipy.sparse as sps
 
+import os
+import sys
+
+# Runnable straight from a checkout: put the repo root on the path.
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
 import spectra_tpu as st
 
 

@@ -3,6 +3,12 @@ README front-page example (reference: README.md usage section)."""
 
 import numpy as np
 
+import os
+import sys
+
+# Runnable straight from a checkout: put the repo root on the path.
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
 import spectra_tpu as st
 
 

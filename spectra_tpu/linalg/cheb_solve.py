@@ -31,6 +31,51 @@ import jax
 import jax.numpy as jnp
 
 
+def cheb_coeffs(alpha, beta, dtype=None):
+    """Interval scalars ``(theta, delta, sigma1)`` of the classical
+    Chebyshev semi-iteration on ``[alpha, beta]``."""
+    if dtype is not None:
+        alpha = jnp.asarray(alpha, dtype)
+        beta = jnp.asarray(beta, dtype)
+    theta = (beta + alpha) / 2.0
+    delta = (beta - alpha) / 2.0
+    return theta, delta, theta / delta
+
+
+def cheb_warm_start(matvec, b, x, coeffs):
+    """(Re-)enter the semi-iteration from solution estimate ``x``:
+    returns the loop carry ``(x, r, d, rho)`` after the first
+    (Richardson) step. Two matvecs; ``x=None`` means a zero start and
+    skips the residual matvec (one matvec)."""
+    theta, _, sigma1 = coeffs
+    if x is None:
+        r = b
+        d = r / theta
+        x1 = d
+    else:
+        r = b - matvec(x)
+        d = r / theta
+        x1 = x + d
+    r1 = r - matvec(d)
+    return x1, r1, d, 1.0 / sigma1
+
+
+def cheb_iterations(matvec, carry, coeffs, num: int):
+    """Run ``num`` two-term-recurrence iterations (one matvec, two
+    axpys, ZERO reductions each) from carry ``(x, r, d, rho)``."""
+    _, delta, sigma1 = coeffs
+
+    def inner(_, c):
+        x, r, d, rho = c
+        rho_new = 1.0 / (2.0 * sigma1 - rho)
+        d_new = rho_new * rho * d + (2.0 * rho_new / delta) * r
+        x_new = x + d_new
+        r_new = r - matvec(d_new)
+        return x_new, r_new, d_new, rho_new
+
+    return jax.lax.fori_loop(0, num, inner, carry)
+
+
 class _ChebState(NamedTuple):
     x: jax.Array  # accumulated solution estimate
     r: jax.Array  # current residual b - A x
@@ -87,25 +132,17 @@ def _chebyshev_solve_impl(
     bnorm = jnp.linalg.norm(b)
     safe_bnorm = jnp.where(bnorm > 0, bnorm, 1.0)
 
-    def restart_coeffs(alpha):
-        theta = (beta + alpha) / 2.0
-        delta = (beta - alpha) / 2.0
-        return theta, delta, theta / delta
-
     def warm_start(x, alpha):
-        """(Re-)enter the semi-iteration from accumulated solution x."""
-        theta, _, sigma1 = restart_coeffs(alpha)
-        r = b - matvec(x)
-        d = r / theta
-        x1 = x + d
-        r1 = r - matvec(d)
-        return x1, r1, d, 1.0 / sigma1
+        x1, r1, d1, rho1 = cheb_warm_start(
+            matvec, b, x, cheb_coeffs(alpha, beta)
+        )
+        return x1, r1, d1, jnp.asarray(rho1, dtype)
 
     a0 = jnp.asarray(alpha, dtype)
-    x0, r0, d0, rho0 = warm_start(jnp.zeros_like(b), a0)
+    x0, r0, d0, rho0 = warm_start(None, a0)
     inf = jnp.asarray(jnp.inf, jnp.dtype(dtype))
     init = _ChebState(
-        x=x0, r=r0, d=d0, rho=jnp.asarray(rho0, dtype), alpha=a0,
+        x=x0, r=r0, d=d0, rho=rho0, alpha=a0,
         it=jnp.asarray(2, jnp.int32), relres=inf, prev=inf, best=inf,
     )
 
@@ -113,18 +150,11 @@ def _chebyshev_solve_impl(
         return (s.relres > rtol) & (s.it < maxiter)
 
     def body(s: _ChebState):
-        _, delta, sigma1 = restart_coeffs(s.alpha)
-
-        def inner(_, carry):
-            x, r, d, rho = carry
-            rho_new = 1.0 / (2.0 * sigma1 - rho)
-            d_new = rho_new * rho * d + (2.0 * rho_new / delta) * r
-            x_new = x + d_new
-            r_new = r - matvec(d_new)
-            return x_new, r_new, d_new, rho_new
-
-        x, r, d, rho = jax.lax.fori_loop(
-            0, check_every, inner, (s.x, s.r, s.d, s.rho)
+        x, r, d, rho = cheb_iterations(
+            matvec,
+            (s.x, s.r, s.d, s.rho),
+            cheb_coeffs(s.alpha, beta),
+            check_every,
         )
         relres = jnp.linalg.norm(r) / safe_bnorm
         stalled = (relres > stall_factor * s.prev) & (relres > rtol)
@@ -134,7 +164,7 @@ def _chebyshev_solve_impl(
         xw, rw, dw, rhow = warm_start(x, alpha_new)
         x, r, d, rho = jax.tree_util.tree_map(
             lambda w, keep: jnp.where(stalled, w, keep),
-            (xw, rw, dw, jnp.asarray(rhow, dtype)),
+            (xw, rw, dw, rhow),
             (x, r, d, rho),
         )
         return _ChebState(

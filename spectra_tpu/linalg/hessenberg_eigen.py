@@ -58,17 +58,22 @@ def hessenberg_eigen(H):
 
     Backend selection (trace-time): ``SPECTRA_TPU_EIGEN_BACKEND`` =
     ``lapack`` | ``native`` | ``auto`` (default). ``auto`` bridges to
-    host LAPACK whenever the runtime supports callbacks: dgeev on an
-    ncv-sized H costs ~0.1 ms while the in-jit Francis pipeline costs
-    ~1.6 ms at m=20 on XLA-CPU (sequential deflation sweeps fight the
-    compiler), and the extraction runs once per restart — measured
-    end-to-end this halves the gen-solver wall time at n=100. The
-    fully on-device native pipeline serves callback-free runtimes
-    (tunneled TPU) where it is the only option.
+    host LAPACK only on the CPU backend, where the callback is a plain
+    function call: dgeev on an ncv-sized H costs ~0.1 ms while the
+    in-jit Francis pipeline costs ~1.6 ms at m=20 on XLA-CPU
+    (sequential deflation sweeps fight the compiler), and the
+    extraction runs once per restart — measured end-to-end this halves
+    the gen-solver wall time at n=100. On accelerators a per-restart
+    ``pure_callback`` is a device->host->device round trip inside the
+    compiled loop, so ``auto`` keeps the fully on-device native
+    pipeline there (also the only option on callback-free runtimes);
+    ``lapack`` forces the bridge for callback-capable accelerators.
     """
     backend = os.environ.get("SPECTRA_TPU_EIGEN_BACKEND", "auto")
     if backend == "lapack" or (
-        backend == "auto" and host_callbacks_supported()
+        backend == "auto"
+        and host_callbacks_supported()
+        and jax.default_backend() == "cpu"
     ):
         return hessenberg_eigen_lapack(H)
     from spectra_tpu.linalg.schur import hessenberg_eigen_native

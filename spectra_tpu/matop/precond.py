@@ -48,25 +48,17 @@ def chebyshev_inverse_apply(matvec, b, alpha, beta, degree: int):
     approximation of ``A^{-1} b`` on the interval [alpha, beta]
     (classical Chebyshev iteration from z0 = 0; Saad, Iterative
     Methods, alg. 12.1). Pure jnp — compiles into the outer program.
-    """
-    theta = (beta + alpha) / 2.0
-    delta = (beta - alpha) / 2.0
-    sigma1 = theta / delta
+    The recurrence is shared with the standalone Chebyshev solver
+    (:mod:`spectra_tpu.linalg.cheb_solve`)."""
+    from spectra_tpu.linalg.cheb_solve import (
+        cheb_coeffs,
+        cheb_iterations,
+        cheb_warm_start,
+    )
 
-    z = b / theta
-    r = b - matvec(z)
-    d = z
-    rho = 1.0 / sigma1
-
-    def step(_, carry):
-        z, r, d, rho = carry
-        rho_new = 1.0 / (2.0 * sigma1 - rho)
-        d_new = rho_new * rho * d + (2.0 * rho_new / delta) * r
-        z_new = z + d_new
-        r_new = r - matvec(d_new)
-        return z_new, r_new, d_new, rho_new
-
-    z, r, d, rho = jax.lax.fori_loop(1, degree, step, (z, r, d, rho))
+    coeffs = cheb_coeffs(alpha, beta)
+    carry = cheb_warm_start(matvec, b, None, coeffs)
+    z, _, _, _ = cheb_iterations(matvec, carry, coeffs, degree - 1)
     return z
 
 

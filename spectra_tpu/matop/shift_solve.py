@@ -237,7 +237,11 @@ def couple_inner_tolerance(obj, outer_tol: float):
     import dataclasses
 
     if isinstance(obj, SparseShiftSolveBase):
-        if obj.method != "splu" and obj.inner_rtol is None:
+        if obj.method != "splu" and not obj.inner_rtol_user:
+            # Re-derive on EVERY compute(): a stale loose coupling from
+            # an earlier compute(tol=coarse) would make a later
+            # tight-tol solve converge on a perturbed operator and
+            # report Successful with wrong eigenvalues.
             work = obj.shifted.dtype
             return dataclasses.replace(
                 obj, inner_rtol=coupled_inner_rtol(outer_tol, work)
@@ -307,6 +311,7 @@ class _HostLUSolver:
         "precond",
         "cheb_degree",
         "cheb_interval",
+        "inner_rtol_user",
     )
 )
 class SparseShiftSolveBase:
@@ -335,11 +340,20 @@ class SparseShiftSolveBase:
     precond: str = "none"
     cheb_degree: int = 16
     cheb_interval: object = None  # (alpha, beta) floats, or None = auto
+    # True when inner_rtol was pinned by the USER (ctor arg or
+    # with_inner_rtol): couple_inner_tolerance then leaves it alone.
+    # Driver-coupled values are re-derived on every compute() — a
+    # second compute() with a tighter tol must tighten the inner solve
+    # too, or it would converge tightly on a *perturbed* operator and
+    # report Successful with wrong eigenvalues.
+    inner_rtol_user: bool = False
 
     def with_inner_rtol(self, rtol: float):
         import dataclasses
 
-        return dataclasses.replace(self, inner_rtol=float(rtol))
+        return dataclasses.replace(
+            self, inner_rtol=float(rtol), inner_rtol_user=True
+        )
 
     @property
     def dtype(self):
@@ -520,6 +534,7 @@ def _build_sparse_shift(
         precond=precond,
         cheb_degree=cheb_degree,
         cheb_interval=cheb_interval,
+        inner_rtol_user=inner_rtol is not None,
     )
 
 

@@ -29,6 +29,32 @@ _lib = None
 _build_failed = False
 
 
+def build_and_load(src: str, lib_path: str) -> ctypes.CDLL:
+    """mtime-checked ``g++`` build of ``src`` into ``lib_path``, then
+    CDLL. The one build recipe for every native library in this package
+    (sparse_kernels, dense_eigs); raises on toolchain failure — callers
+    own their fallback policy."""
+    if not os.path.exists(lib_path) or os.path.getmtime(
+        lib_path
+    ) < os.path.getmtime(src):
+        subprocess.run(
+            [
+                "g++",
+                "-O3",
+                "-march=native",
+                "-shared",
+                "-fPIC",
+                "-std=c++17",
+                src,
+                "-o",
+                lib_path,
+            ],
+            check=True,
+            capture_output=True,
+        )
+    return ctypes.CDLL(lib_path)
+
+
 def _load():
     """Compile (if needed) and load the native library; None on failure."""
     global _lib, _build_failed
@@ -38,25 +64,7 @@ def _load():
         if _lib is not None or _build_failed:
             return _lib
         try:
-            if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(
-                _SRC
-            ):
-                subprocess.run(
-                    [
-                        "g++",
-                        "-O3",
-                        "-march=native",
-                        "-shared",
-                        "-fPIC",
-                        "-std=c++17",
-                        _SRC,
-                        "-o",
-                        _LIB,
-                    ],
-                    check=True,
-                    capture_output=True,
-                )
-            lib = ctypes.CDLL(_LIB)
+            lib = build_and_load(_SRC, _LIB)
         except (OSError, subprocess.CalledProcessError):
             _build_failed = True
             return None

@@ -550,33 +550,31 @@ int spectra_dense_eigs(const double* A, int n, int nev, int ncv, int rule,
     if (rz.wi[p] == 0.0) {
       sr = &rz.vecs[(size_t)p * m];
       si = nullptr;
-    } else if (rz.is_pair_lo[p]) {
-      // columns p (re) and the matching conjugate column (im): LAPACK
-      // stores re in the lead column, im in the next ORIGINAL column.
-      // After permutation the matching im column is wherever order
-      // placed j+1; reconstruct from original index parity instead:
-      sr = &rz.vecs[(size_t)p * m];
-      // find the column q with conjugate eigenvalue
-      int q = -1;
-      for (int t = 0; t < m; ++t)
-        if (t != p && rz.wr[t] == rz.wr[p] && rz.wi[t] == -rz.wi[p]) {
-          q = t;
-          break;
-        }
-      if (q < 0) return -5;
-      si = &rz.vecs[(size_t)q * m];
-      si_sign = (rz.wi[p] > 0.0) ? 1.0 : -1.0;
     } else {
-      // pair trailing column: re lives in the conjugate's lead column
+      // LAPACK real-packed pairs live at ORIGINAL columns (j, j+1):
+      // re in the lead, im in the trail. The selection permutation is
+      // retained in rz.order, so the partner of sorted position p is
+      // the sorted position holding original column j+1 (lead) or j-1
+      // (trail) — exact by construction. (Matching by eigenvalue
+      // equality instead can cross-match the re/im halves of two
+      // DEGENERATE pairs with bit-identical (wr, wi) and emit a
+      // non-eigenvector.)
+      const int j = rz.order[p];
+      const int j_partner = rz.is_pair_lo[p] ? j + 1 : j - 1;
       int q = -1;
       for (int t = 0; t < m; ++t)
-        if (t != p && rz.wr[t] == rz.wr[p] && rz.wi[t] == -rz.wi[p]) {
+        if (rz.order[t] == j_partner) {
           q = t;
           break;
         }
       if (q < 0) return -5;
-      sr = &rz.vecs[(size_t)q * m];
-      si = &rz.vecs[(size_t)p * m];
+      if (rz.is_pair_lo[p]) {
+        sr = &rz.vecs[(size_t)p * m];
+        si = &rz.vecs[(size_t)q * m];
+      } else {
+        sr = &rz.vecs[(size_t)q * m];
+        si = &rz.vecs[(size_t)p * m];
+      }
       si_sign = (rz.wi[p] > 0.0) ? 1.0 : -1.0;
     }
     const char tn = 'N';

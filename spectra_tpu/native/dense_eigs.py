@@ -42,18 +42,9 @@ def _load():
         if _lib is not None or _failed:
             return _lib
         try:
-            if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(
-                _SRC
-            ):
-                subprocess.run(
-                    [
-                        "g++", "-O3", "-march=native", "-shared", "-fPIC",
-                        "-std=c++17", _SRC, "-o", _LIB,
-                    ],
-                    check=True,
-                    capture_output=True,
-                )
-            lib = ctypes.CDLL(_LIB)
+            from spectra_tpu.native import build_and_load
+
+            lib = build_and_load(_SRC, _LIB)
             from scipy.linalg import cython_blas, cython_lapack
 
             fns = (ctypes.c_void_p * 8)(

@@ -210,4 +210,5 @@ def sharded_stencil_shift_solve(
         precond=precond,
         cheb_degree=cheb_degree,
         cheb_interval=cheb_interval,
+        inner_rtol_user=inner_rtol is not None,
     )

@@ -40,6 +40,7 @@ from spectra_tpu.util.selection import argsort_np, sort_key_np
 
 _init_jit = jax.jit(krylov.init, static_argnums=(2,))
 _fact_jit = jax.jit(krylov.factorize_from, static_argnames=("mode",))
+_step_jit = jax.jit(krylov.step_once, static_argnames=("mode",))
 _trunc_jit = jax.jit(krylov.truncate_schur)
 
 
@@ -70,6 +71,7 @@ def iram_compute_ks(
     selection,
     sorting,
     transform=None,
+    matvec_granularity: bool = False,
 ) -> IRAMResult:
     """Full Arnoldi iteration with Krylov-Schur restarts (real dtypes).
 
@@ -77,7 +79,10 @@ def iram_compute_ks(
     thresholds (GenEigsBase.h:225-242) and the dnaup2 nev adjustment
     with the conjugate-pair guard (GenEigsBase.h:245-277), both reused
     from :mod:`spectra_tpu.solvers._gen_host`.
-    """
+
+    ``matvec_granularity``: one operator application per device
+    execution with a true host sync per step (watchdog contract of
+    ``set_matvec_granularity``)."""
     if np.issubdtype(np.dtype(v0.dtype), np.complexfloating):
         raise ValueError(
             "krylov_schur restarting is implemented for real matrices; "
@@ -87,8 +92,19 @@ def iram_compute_ks(
     eps23 = dtypes.eps23(rdtype)
     near_0 = dtypes.near_zero(rdtype)
 
+    def _factorize(state, from_k: int):
+        if not matvec_granularity:
+            return _fact_jit(arnop, state, from_k, "arnoldi")
+        state_k = state
+        for i in range(max(int(from_k), 1), ncv):
+            state_k = _step_jit(
+                arnop, state_k, jnp.asarray(i, jnp.int32), mode="arnoldi"
+            )
+            jax.device_get(state_k.beta)  # true sync: bound the queue
+        return state_k._replace(k=jnp.asarray(ncv, jnp.int32))
+
     state = _init_jit(arnop, v0, ncv, key)
-    state = _fact_jit(arnop, state, 1, "arnoldi")
+    state = _factorize(state, 1)
 
     niter = 0
     for it in range(maxit + 1):
@@ -145,7 +161,7 @@ def iram_compute_ks(
         b = U2[ncv - 1, :k].copy()
 
         state = _trunc_jit(arnop, state, jnp.asarray(U2), jnp.asarray(T2), k)
-        state = _fact_jit(arnop, state, k, "arnoldi")
+        state = _factorize(state, k)
 
         if beta >= near_0:
             # Residual coupling of the truncated basis: row k of the

@@ -308,22 +308,29 @@ class HermEigsBase:
             jax.device_get(state.beta)
             return state
 
-        state = sync(
-            core.stepped_init(
-                self._arnop, self._v0, jax.random.PRNGKey(0), m=self._ncv
-            )
-        )
-        for i in range(1, self._ncv):
+        if self._resume_carry is not None:
+            # Honor load_checkpoint(): continue from the saved carry
+            # instead of refactorizing from v0 (the large-n regime this
+            # mode serves is exactly where checkpointing matters).
+            carry = self._resume_carry
+            self._resume_carry = None
+        else:
             state = sync(
-                core.stepped_step(
-                    self._arnop, state, jnp.asarray(i, jnp.int32), mode=mode
+                core.stepped_init(
+                    self._arnop, self._v0, jax.random.PRNGKey(0), m=self._ncv
                 )
             )
-        carry = core.stepped_extract(
-            state, tol_arr, jnp.asarray(0, jnp.int32), **fixed
-        )
+            for i in range(1, self._ncv):
+                state = sync(
+                    core.stepped_step(
+                        self._arnop, state, jnp.asarray(i, jnp.int32), mode=mode
+                    )
+                )
+            carry = core.stepped_extract(
+                state, tol_arr, jnp.asarray(0, jnp.int32), **fixed
+            )
         self._history = []
-        restarts = 0
+        restarts = int(jax.device_get(carry.restarts))
         while True:
             nconv, beta = jax.device_get((carry.nconv, carry.state.beta))
             self._history.append(

@@ -201,6 +201,7 @@ class GenEigsBase(HermEigsBase):
                 selection=selection,
                 sorting=sorting,
                 transform=type(self)._ritz_transform,
+                matvec_granularity=self._matvec_granularity,
             )
         )
 

@@ -95,3 +95,38 @@ def test_invalid_method_and_complex_rejected():
     sc.init()
     with pytest.raises(ValueError):
         sc.compute(st.SortRule.LargestMagn)
+
+
+def test_ks_matvec_granularity_matches():
+    """Krylov-Schur restarts honor set_matvec_granularity (stepped
+    factorization, one operator application per device execution) and
+    reproduce the per-restart KS driver's decisions exactly."""
+    import numpy as np
+
+    import spectra_tpu as st
+    from spectra_tpu.util.rng import SimpleRandom
+
+    rng = np.random.default_rng(11)
+    A = rng.uniform(size=(150, 150)) - 0.5
+    v0 = SimpleRandom(0).random_vec(150)
+
+    def solve(stepped):
+        s = st.GenEigsSolver(st.DenseGenMatProd.create(A), nev=4, ncv=12)
+        s.set_restart_method("krylov_schur")
+        if stepped:
+            s.set_matvec_granularity(True)
+        s.init(v0)
+        n = s.compute(st.SortRule.LargestMagn)
+        return n, s
+
+    n_ref, ref = solve(False)
+    n_st, stp = solve(True)
+    assert n_ref == n_st == 4
+    assert stp.num_iterations() == ref.num_iterations()
+    assert stp.num_operations() == ref.num_operations()
+    np.testing.assert_allclose(
+        np.sort_complex(stp.eigenvalues()),
+        np.sort_complex(ref.eigenvalues()),
+        rtol=0,
+        atol=1e-10,
+    )

@@ -121,3 +121,35 @@ class TestGenSolverNativeBackend:
         vecs = np.asarray(eigs.eigenvectors())
         resid = np.abs(A @ vecs - vecs * vals[None, :]).max()
         assert resid < 1e-9
+
+
+def test_native_degenerate_complex_pairs():
+    """Eigenvector assembly pairs re/im columns by ORIGINAL LAPACK
+    column adjacency (via the retained selection permutation), so two
+    conjugate pairs with bit-identical eigenvalues cannot cross-match
+    into non-eigenvectors."""
+    import numpy as np
+
+    from spectra_tpu.native import dense_eigs as nd
+
+    if not nd.available():
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+
+    c, s = np.cos(0.7), np.sin(0.7)
+    R = np.array([[c, -s], [s, c]])
+    A = np.zeros((10, 10))
+    A[:2, :2] = 1.3 * R
+    A[2:4, 2:4] = 1.3 * R  # exactly degenerate second pair
+    A[4:, 4:] = np.diag([0.9, 0.5, 0.3, -0.2, 0.1, -0.05])
+    rng = np.random.default_rng(0)
+    Q, _ = np.linalg.qr(rng.standard_normal((10, 10)))
+    A = Q @ A @ Q.T
+    out = nd.dense_eigs(
+        A, 4, 9, 0, False, 1e-10, 2000, rng.standard_normal(10)
+    )
+    w, V, nconv = out["values"], out["vectors"], int(out["nconv"])
+    assert nconv == 4
+    res = np.abs(A @ V - V * w[None, :]).max(axis=0)
+    assert res[:4].max() < 1e-8

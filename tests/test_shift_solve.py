@@ -239,3 +239,50 @@ class TestChebyshevInnerSolve:
         mu = 4 * np.sin(np.pi * i / (2 * (g + 1))) ** 2
         lam = np.sort((mu[:, None] + 1.37 * mu[None, :]).ravel())[:4]
         np.testing.assert_allclose(vals, lam, rtol=1e-7)
+
+    def test_recompute_tighter_tol_recouples_inner_rtol(self):
+        """A second compute() with a tighter tol must tighten the inner
+        solve too: the coupled inner_rtol is re-derived per compute(),
+        not pinned by the first call (a stale loose coupling converges
+        tightly on a perturbed operator and silently reports Successful
+        with wrong eigenvalues)."""
+        import scipy.sparse as sps
+
+        g = 12
+        lap1 = sps.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(g, g))
+        A = (
+            sps.kron(sps.eye(g), lap1) + 1.37 * sps.kron(lap1, sps.eye(g))
+        ).tocsr()
+        n = A.shape[0]
+        from spectra_tpu.util.rng import SimpleRandom
+
+        v0 = SimpleRandom(0).random_vec(n)
+        op = st.SparseSymShiftSolve.create(A, method="minres")
+        eigs = st.SymEigsShiftSolver(op, nev=4, ncv=16, sigma=0.0)
+        eigs.init(v0)
+        eigs.compute(st.SortRule.LargestMagn, tol=1e-2)  # loose first
+        eigs.init(v0)
+        nconv = eigs.compute(st.SortRule.LargestMagn, tol=1e-10)
+        assert nconv == 4
+        vals = np.sort(eigs.eigenvalues())
+        i = np.arange(1, g + 1)
+        mu = 4 * np.sin(np.pi * i / (2 * (g + 1))) ** 2
+        lam = np.sort((mu[:, None] + 1.37 * mu[None, :]).ravel())[:4]
+        np.testing.assert_allclose(vals, lam, atol=1e-9)
+
+    def test_user_inner_rtol_survives_coupling(self):
+        """An explicitly user-set inner_rtol is never overridden by the
+        per-compute coupling."""
+        import scipy.sparse as sps
+
+        g = 8
+        lap1 = sps.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(g, g))
+        A = (sps.kron(sps.eye(g), lap1) + sps.kron(lap1, sps.eye(g))).tocsr()
+        from spectra_tpu.matop.shift_solve import couple_inner_tolerance
+
+        op = st.SparseSymShiftSolve.create(
+            A, method="minres", inner_rtol=3e-7
+        ).set_shift(0.0)
+        assert op.inner_rtol_user
+        coupled = couple_inner_tolerance(op, 1e-10)
+        assert coupled.inner_rtol == 3e-7

@@ -351,3 +351,38 @@ def test_eigenvectors_nvec_subset():
     two = np.asarray(eigs.eigenvectors(2))
     assert two.shape == (100, 2)
     np.testing.assert_array_equal(two, full[:, :2])
+
+
+def test_matvec_granularity_checkpoint_resume(tmp_path, monkeypatch):
+    """load_checkpoint() is honored on the stepped path: a run saved
+    mid-iteration by the chunked driver resumes under matvec
+    granularity and matches the uninterrupted solve."""
+    monkeypatch.setenv("SPECTRA_TPU_DENSE_DRIVER", "jax")
+    A = _sym_matrix(300)
+    from spectra_tpu.util.rng import SimpleRandom
+
+    v0 = SimpleRandom(0).random_vec(300)
+    op = st.DenseSymMatProd.create(A)
+
+    ref = st.SymEigsSolver(op, nev=6, ncv=12)
+    ref.init(v0)
+    ref.compute(SortRule.LargestMagn)
+
+    part = st.SymEigsSolver(op, nev=6, ncv=12)
+    part.set_restart_chunk(5)
+    part.init(v0)
+    part.compute(SortRule.LargestMagn, maxit=10)
+    assert part.info() == CompInfo.NotConverging
+    path = str(tmp_path / "state.npz")
+    part.save_checkpoint(path)
+
+    res = st.SymEigsSolver(op, nev=6, ncv=12)
+    res.set_matvec_granularity(True)
+    res.init(v0)
+    res.load_checkpoint(path)
+    res.compute(SortRule.LargestMagn)
+    assert res.info() == CompInfo.Successful
+    assert res.num_iterations() == ref.num_iterations()
+    np.testing.assert_allclose(
+        res.eigenvalues(), ref.eigenvalues(), rtol=0, atol=1e-10
+    )
