@@ -86,6 +86,7 @@ class _ChebState(NamedTuple):
     relres: jax.Array  # last checked relative residual
     prev: jax.Array  # relative residual at the previous check
     best: jax.Array  # best relative residual seen
+    dry: jax.Array  # int32: consecutive windows with no real progress
 
 
 def chebyshev_solve(matvec, b, alpha, beta, **kwargs):
@@ -144,10 +145,18 @@ def _chebyshev_solve_impl(
     init = _ChebState(
         x=x0, r=r0, d=d0, rho=rho0, alpha=a0,
         it=jnp.asarray(2, jnp.int32), relres=inf, prev=inf, best=inf,
+        dry=jnp.asarray(0, jnp.int32),
     )
 
     def cond(s: _ChebState):
-        return (s.relres > rtol) & (s.it < maxiter)
+        # dry >= 3: three consecutive windows without >= 10% progress
+        # on the best residual — the attainable rounding floor of the
+        # runtime (emulated-fp64 TPUs floor around 1e-11..1e-12, below
+        # any rtol the recurrence can honor). Without this exit a
+        # floor-limited solve misreads the stagnation as an interval
+        # problem, shrinks alpha to its minimum, and burns the entire
+        # maxiter budget for zero additional accuracy.
+        return (s.relres > rtol) & (s.it < maxiter) & (s.dry < 3)
 
     def body(s: _ChebState):
         x, r, d, rho = cheb_iterations(
@@ -173,6 +182,7 @@ def _chebyshev_solve_impl(
             relres=relres,
             prev=jnp.where(stalled, inf, relres),
             best=jnp.minimum(s.best, relres),
+            dry=jnp.where(relres < 0.9 * s.best, 0, s.dry + 1),
         )
 
     out = jax.lax.while_loop(cond, body, init)

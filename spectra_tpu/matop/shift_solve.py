@@ -493,12 +493,38 @@ def _build_sparse_shift(
         return SparseShiftSolveBase(
             shifted=None, solver=solver, n=n, method="splu", out_real=out_real
         )
+    return build_shifted_iterative(
+        shifted,
+        method,
+        out_real=out_real,
+        precond=precond,
+        inner_rtol=inner_rtol,
+        cheb_degree=cheb_degree,
+        cheb_interval=cheb_interval,
+    )
+
+
+def build_shifted_iterative(
+    shifted,
+    method,
+    out_real=False,
+    precond="none",
+    inner_rtol=None,
+    cheb_degree=16,
+    cheb_interval=None,
+):
+    """On-device iterative ``shifted^{-1}`` operator over a PRE-shifted
+    host CSR (``A - sigma I`` or ``A - sigma B``): DIA/ELL format
+    routing, tolerance coupling, preconditioning, NaN-poisoning —
+    shared by the standard sparse shift-solve wrappers and
+    :class:`spectra_tpu.matop.sym_shift_invert.SymShiftInvert`."""
     from spectra_tpu.sparse.formats import (
         dia_from_scipy,
         dia_suitability,
         ell_from_scipy,
     )
 
+    n = shifted.shape[0]
     # Banded matrices (stencils): the gather-free DIA matvec is the
     # difference between a practical and an impractical inner solve at
     # n ~ 1e6 (~100 us vs several ms per SpMV on a v5e).

@@ -11,9 +11,14 @@ reference's SymShiftInvertHelper (SymShiftInvert.h:26-93):
 * any operand dense -> densify and factor with our on-device
   Bunch-Kaufman LDL^H (:mod:`spectra_tpu.linalg.bkldlt`) — solves stay
   on-device (the reference uses BKLDLT here too);
-* optional ``method="cg"`` for huge sparse pairs: on-device MINRES-ish
-  inner solve (the shifted matrix is symmetric indefinite, we use
-  bicgstab for robustness).
+* iterative methods for huge sparse pairs (callback-free runtimes
+  route here automatically): the shared on-device machinery of
+  :func:`spectra_tpu.matop.shift_solve.build_shifted_iterative` —
+  DIA/ELL format routing, outer-tolerance coupling, NaN-poisoning.
+  ``method="minres"`` (alias ``"cg"``) for the general symmetric
+  indefinite ``A - sigma B``; ``method="cheb"`` (reduction-free
+  Chebyshev semi-iteration) when the shifted matrix is SPD, e.g.
+  sigma below the (A, B) spectrum.
 
 ``set_shift`` returns a new factored operator (functional style).
 """
@@ -28,7 +33,7 @@ from spectra_tpu.matop.shift_solve import (
     ShiftFactorizationError,
     _HostLUSolver,
 )
-from spectra_tpu.sparse.formats import ell_from_scipy, symmetrize_scipy
+from spectra_tpu.sparse.formats import symmetrize_scipy
 from spectra_tpu.util.pytree import pytree_dataclass
 
 
@@ -72,36 +77,6 @@ class _SpLUShiftedSolve:
     def perform_op(self, x):
         out = jax.ShapeDtypeStruct(x.shape, self.dtype)
         return jax.pure_callback(self.solver, out, x.astype(self.dtype))
-
-
-@pytree_dataclass(meta_fields=("maxiter",))
-class _IterativeShiftedSolve:
-    ell: object
-    maxiter: int
-
-    @property
-    def dtype(self):
-        return self.ell.dtype
-
-    def rows(self) -> int:
-        return self.ell.n_rows
-
-    def cols(self) -> int:
-        return self.ell.n_cols
-
-    def perform_op(self, x):
-        from spectra_tpu.linalg.minres import minres
-        from spectra_tpu.matop.precond import gershgorin_upper
-        from spectra_tpu.matop.shift_solve import _poison_if_unconverged
-
-        # A - sigma B is symmetric indefinite: MINRES is the right
-        # on-device Krylov solver (CG invalid, BiCGStab erratic).
-        y, _ = minres(
-            self.ell.matvec, x, rtol=1e-12, maxiter=min(self.maxiter, 20000)
-        )
-        return _poison_if_unconverged(
-            self.ell.matvec, y, x, gershgorin_upper(self.ell)
-        )
 
 
 class SymShiftInvert:
@@ -160,19 +135,26 @@ class SymShiftInvert:
         return Ad - sigma * Bd
 
     def set_shift(self, sigma):
-        from spectra_tpu.matop.shift_solve import _resolve_sparse_method
+        from spectra_tpu.matop.shift_solve import (
+            _resolve_sparse_method,
+            build_shifted_iterative,
+        )
 
         shifted = self._shifted_host(sigma)
         method = self._method
         if method is None and _is_scipy_sparse(shifted):
-            method = "splu" if _resolve_sparse_method("auto") == "splu" else "cg"
-        if method == "cg":
+            method = _resolve_sparse_method("auto")
+        if method in ("cg", "minres", "cheb", "bicgstab"):
             import scipy.sparse as sps
 
             if not _is_scipy_sparse(shifted):
                 shifted = sps.csr_matrix(shifted)
-            return _IterativeShiftedSolve(
-                ell=ell_from_scipy(shifted), maxiter=10 * self._n
+            # "cg" kept as the documented alias: A - sigma B is
+            # symmetric indefinite in general, so it maps to MINRES;
+            # "cheb" is the reduction-free semi-iteration for the
+            # definite case (e.g. sigma below the (A, B) spectrum).
+            return build_shifted_iterative(
+                shifted.tocsr(), "minres" if method == "cg" else method
             )
         if _is_scipy_sparse(shifted):
             import scipy.sparse.linalg as spla

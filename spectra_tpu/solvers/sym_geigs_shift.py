@@ -57,9 +57,16 @@ class SymGEigsShiftSolver(HermEigsBase):
     _mode = "lanczos"
 
     def __init__(
-        self, op, bop, nev: int, ncv: int, sigma: float, mode=GEigsMode.ShiftInvert
+        self,
+        op,
+        bop,
+        nev: int,
+        ncv: int,
+        sigma: float,
+        mode=GEigsMode.ShiftInvert,
+        _factored=None,
     ):
-        solve = op.set_shift(sigma)
+        solve = _factored if _factored is not None else op.set_shift(sigma)
         if mode == GEigsMode.ShiftInvert:
             composed = SymGEigsShiftInvertOp(solve=solve, bop=bop)
             self.__class__ = _ShiftInvertSolver
@@ -83,6 +90,17 @@ class SymGEigsShiftSolver(HermEigsBase):
         HermEigsBase.__init__(self, composed, nev, ncv, bop=bop)
         self._sigma = float(sigma)
         self._geigs_mode = mode
+
+    @classmethod
+    def from_factored(
+        cls, solve, bop, nev: int, ncv: int, sigma: float,
+        mode=GEigsMode.ShiftInvert,
+    ):
+        """Build from an already-factored ``(A - sigma B)^{-1}``
+        operator (the result of ``SymShiftInvert(...).set_shift(sigma)``)
+        — lets the caller time/persist the one-time factorization
+        separately, mirroring ``SymEigsShiftSolver.from_factored``."""
+        return cls(None, bop, nev, ncv, sigma, mode, _factored=solve)
 
     def _transform_aux(self):
         return jnp.asarray(self._sigma, jnp.finfo(self._dtype).dtype)

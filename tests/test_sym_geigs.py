@@ -172,3 +172,39 @@ class TestCayleyMode:
         nu = (w + sigma) / (w - sigma)
         closest = w[np.argsort(-np.abs(nu))[:k]]
         np.testing.assert_allclose(np.sort(vals), np.sort(closest), atol=1e-9)
+
+
+class TestIterativeShiftInvert:
+    """SymShiftInvert routed through the shared on-device iterative
+    machinery (build_shifted_iterative): the at-scale path for huge
+    sparse (A, B) pairs on callback-free runtimes."""
+
+    def _grid_pair(self, g):
+        lap1 = sps.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(g, g))
+        A = (
+            sps.kron(sps.eye(g), lap1) + 1.37 * sps.kron(lap1, sps.eye(g))
+        ).tocsr()
+        n = A.shape[0]
+        # SPD banded mass matrix (FEM-style 1D mass along one axis).
+        m1 = sps.diags([1.0 / 6, 2.0 / 3, 1.0 / 6], [-1, 0, 1], shape=(g, g))
+        B = sps.kron(sps.eye(g), m1).tocsr()
+        return A, B, n
+
+    @pytest.mark.parametrize("method", ["minres", "cheb"])
+    def test_generalized_sigma0(self, method):
+        g = 14
+        A, B, n = self._grid_pair(g)
+        op = st.SymShiftInvert.create(A, B, method=method)
+        bop = st.SparseSymMatProd.from_full(B)
+        eigs = st.SymGEigsShiftSolver(op, bop, nev=4, ncv=16, sigma=0.0)
+        eigs.init()
+        nconv = eigs.compute(st.SortRule.LargestMagn, tol=1e-8)
+        assert nconv == 4 and eigs.info() == st.CompInfo.Successful
+        vals = np.asarray(eigs.eigenvalues())
+        w = scipy.linalg.eigh(
+            A.toarray(), B.toarray(), eigvals_only=True
+        )
+        np.testing.assert_allclose(np.sort(vals), np.sort(w)[:4], atol=1e-7)
+        vecs = np.asarray(eigs.eigenvectors())
+        resid = np.abs(A @ vecs - B @ vecs * vals[None, :]).max()
+        assert resid < 1e-6
