@@ -160,6 +160,29 @@ def iram_compute_ks(
             k = min(k, ncv - 1)
         b = U2[ncv - 1, :k].copy()
 
+        # Locking (Stewart, Krylov-Schur with deflation): zero the
+        # spike coupling of the longest leading prefix of WHOLE Schur
+        # blocks whose residual ``beta * |b[block]|`` already satisfies
+        # the ARPACK test — those columns then form an exact invariant
+        # subspace that later expansions cannot perturb (the zeroing is
+        # a backward error below the convergence threshold by
+        # construction). Cuts wasted re-mixing of converged directions
+        # on hard spectra; the reference has no locking (its implicit
+        # restart re-rotates everything every cycle).
+        lam_lead = _schur_position_eigs(T2[:k, :k])
+        eps23_arr = np.maximum(eps23, np.abs(lam_lead))
+        nlock = 0
+        for start, size in _block_starts(T2[:k, :k]):
+            if start + size > k:
+                break
+            blk_resid = beta * np.abs(b[start : start + size]).max()
+            if blk_resid < tol * eps23_arr[start : start + size].min():
+                nlock = start + size
+            else:
+                break
+        if nlock:
+            b[:nlock] = 0.0
+
         state = _trunc_jit(arnop, state, jnp.asarray(U2), jnp.asarray(T2), k)
         state = _factorize(state, k)
 

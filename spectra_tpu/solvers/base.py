@@ -296,6 +296,13 @@ class HermEigsBase:
             selection=selection,
             restart_method=self._restart_method,
         )
+        import os
+        import sys
+        import time as _time
+
+        step_log = bool(os.environ.get("SPECTRA_TPU_STEP_LOG"))
+        t_last = _time.perf_counter()
+
         def sync(state):
             # JAX dispatch is async: without a true host sync every
             # step of the host loop would enqueue immediately, and the
@@ -306,6 +313,16 @@ class HermEigsBase:
             # enqueue only); ~25 ms per step, negligible against a
             # seconds-long inner solve.
             jax.device_get(state.beta)
+            if step_log:
+                nonlocal t_last
+                now = _time.perf_counter()
+                print(
+                    f"[stepped] op {int(jax.device_get(state.nops))} "
+                    f"+{now - t_last:.2f}s",
+                    file=sys.stderr,
+                    flush=True,
+                )
+                t_last = now
             return state
 
         if self._resume_carry is not None:

@@ -130,3 +130,41 @@ def test_ks_matvec_granularity_matches():
         rtol=0,
         atol=1e-10,
     )
+
+
+def test_ks_locking_hard_spectrum():
+    """Dominant well-separated pairs converge restarts before the
+    clustered tail; locking freezes them (zero spike coupling) so the
+    remaining restarts cannot perturb them. Correctness bar: all nev
+    eigenpairs match numpy to the solver tolerance."""
+    import numpy as np
+
+    import spectra_tpu as st
+    from spectra_tpu.util.rng import SimpleRandom
+
+    n = 250
+    rng = np.random.default_rng(42)
+    # NORMAL matrix (orthogonal similarity of a block-diagonal) so the
+    # eigenvalues are perfectly conditioned: two dominant rotation
+    # blocks (complex pairs), one dominant real leader, and a cluster
+    # near magnitude 1.
+    D = np.zeros((n, n))
+    c, s = np.cos(0.6), np.sin(0.6)
+    D[:2, :2] = 50.0 * np.array([[c, -s], [s, c]])
+    D[2:4, 2:4] = 40.0 * np.array([[c, s], [-s, c]])
+    D[4, 4] = -30.0
+    D[5:, 5:] = np.diag(1.0 + 0.01 * rng.standard_normal(n - 5))
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    A = Q @ D @ Q.T
+
+    s = st.GenEigsSolver(st.DenseGenMatProd.create(A), nev=6, ncv=16)
+    s.set_restart_method("krylov_schur")
+    s.init(SimpleRandom(0).random_vec(n))
+    nconv = s.compute(st.SortRule.LargestMagn, maxit=500, tol=1e-10)
+    assert nconv >= 6
+    vals = np.sort_complex(s.eigenvalues())[-6:]
+    w = np.linalg.eigvals(A)
+    want = np.sort_complex(w[np.argsort(-np.abs(w))[:6]])[-6:]
+    np.testing.assert_allclose(
+        np.sort(vals.real), np.sort(want.real), atol=1e-7
+    )
