@@ -62,4 +62,17 @@ want = np.sort(np.linalg.eigvalsh(A.toarray()))[:2]
 got = np.sort(np.asarray(eigs.eigenvalues()))
 assert np.allclose(got, want, atol=1e-8), (got, want)
 
+# Distributed shift-invert across the two processes: the inner Krylov
+# solve runs over the halo-exchange stencil SpMV, so every inner
+# iteration's vectors stay row-sharded across hosts.
+from spectra_tpu.parallel import sharded_stencil_shift_solve
+
+si_op = sharded_stencil_shift_solve(A, 0.0, mesh)
+si = st.SymEigsShiftSolver.from_factored(si_op, 2, 8, 0.0)
+si.init(v0)
+nconv = si.compute(st.SortRule.LargestMagn, maxit=100, tol=1e-8)
+assert nconv == 2, nconv
+got_si = np.sort(np.asarray(si.eigenvalues()))
+assert np.allclose(got_si, want, atol=1e-6), (got_si, want)
+
 print(f"MULTIHOST_OK process={pid} devices={n_dev}", flush=True)
