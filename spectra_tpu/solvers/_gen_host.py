@@ -38,6 +38,24 @@ _dsq_jit = jax.jit(double_shift_qr)
 _hqr_jit = jax.jit(hessenberg_qr)
 
 
+def host_factorize(arnop, state, from_k: int, ncv: int,
+                   matvec_granularity: bool):
+    """Re-expand the factorization from ``from_k`` to ``ncv`` columns.
+
+    Default: one jitted ``factorize_from`` (one device execution for
+    the whole sweep). ``matvec_granularity``: one ``step_once``
+    execution per column with a true host sync per step — the
+    watchdog contract of ``set_matvec_granularity`` (shared by the
+    host-driven IRAM and the Krylov-Schur driver)."""
+    if not matvec_granularity:
+        return _fact_jit(arnop, state, from_k, "arnoldi")
+    for i in range(max(int(from_k), 1), ncv):
+        state = _step_jit(arnop, state, jnp.asarray(i, jnp.int32),
+                          mode="arnoldi")
+        jax.device_get(state.beta)  # true sync: bound the worker queue
+    return state._replace(k=jnp.asarray(ncv, jnp.int32))
+
+
 def _host_ritz(H, selection: SortRule, nev: int):
     evals, evecs = np.linalg.eig(H)
     ind = argsort_np(selection, evals)
@@ -86,19 +104,8 @@ def iram_compute_host(
     eps23 = dtypes.eps23(rdtype)
     cpu = cpu_device()
 
-    def _factorize(state, from_k: int):
-        if not matvec_granularity:
-            return _fact_jit(arnop, state, from_k, "arnoldi")
-        state_k = state
-        for i in range(max(int(from_k), 1), ncv):
-            state_k = _step_jit(
-                arnop, state_k, jnp.asarray(i, jnp.int32), mode="arnoldi"
-            )
-            jax.device_get(state_k.beta)  # true sync: bound the queue
-        return state_k._replace(k=jnp.asarray(ncv, jnp.int32))
-
     state = _init_jit(arnop, v0, ncv, key)
-    state = _factorize(state, 1)
+    state = host_factorize(arnop, state, 1, ncv, matvec_granularity)
 
     niter = 0
     for it in range(maxit + 1):
@@ -139,7 +146,7 @@ def iram_compute_host(
         state = _compress_jit(
             arnop, state, jnp.asarray(Q), jnp.asarray(H_new), k_new
         )
-        state = _factorize(state, k_new)
+        state = host_factorize(arnop, state, k_new, ncv, matvec_granularity)
 
     vals = ritz_val[:nev]
     if transform is not None:

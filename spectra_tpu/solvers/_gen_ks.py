@@ -34,13 +34,15 @@ import jax.numpy as jnp
 from spectra_tpu.linalg import krylov
 from spectra_tpu.linalg.schur_reorder import _block_starts, schur_reorder
 from spectra_tpu.solvers._gen_core import IRAMResult
-from spectra_tpu.solvers._gen_host import _host_nev_adjusted, _host_ritz
+from spectra_tpu.solvers._gen_host import (
+    _host_nev_adjusted,
+    _host_ritz,
+    host_factorize,
+)
 from spectra_tpu.util import dtypes
 from spectra_tpu.util.selection import argsort_np, sort_key_np
 
 _init_jit = jax.jit(krylov.init, static_argnums=(2,))
-_fact_jit = jax.jit(krylov.factorize_from, static_argnames=("mode",))
-_step_jit = jax.jit(krylov.step_once, static_argnames=("mode",))
 _trunc_jit = jax.jit(krylov.truncate_schur)
 
 
@@ -92,19 +94,8 @@ def iram_compute_ks(
     eps23 = dtypes.eps23(rdtype)
     near_0 = dtypes.near_zero(rdtype)
 
-    def _factorize(state, from_k: int):
-        if not matvec_granularity:
-            return _fact_jit(arnop, state, from_k, "arnoldi")
-        state_k = state
-        for i in range(max(int(from_k), 1), ncv):
-            state_k = _step_jit(
-                arnop, state_k, jnp.asarray(i, jnp.int32), mode="arnoldi"
-            )
-            jax.device_get(state_k.beta)  # true sync: bound the queue
-        return state_k._replace(k=jnp.asarray(ncv, jnp.int32))
-
     state = _init_jit(arnop, v0, ncv, key)
-    state = _factorize(state, 1)
+    state = host_factorize(arnop, state, 1, ncv, matvec_granularity)
 
     niter = 0
     for it in range(maxit + 1):
@@ -184,7 +175,7 @@ def iram_compute_ks(
             b[:nlock] = 0.0
 
         state = _trunc_jit(arnop, state, jnp.asarray(U2), jnp.asarray(T2), k)
-        state = _factorize(state, k)
+        state = host_factorize(arnop, state, k, ncv, matvec_granularity)
 
         if beta >= near_0:
             # Residual coupling of the truncated basis: row k of the
