@@ -312,17 +312,19 @@ class HermEigsBase:
             # tunneled PJRT runtimes (block_until_ready can acknowledge
             # enqueue only); ~25 ms per step, negligible against a
             # seconds-long inner solve.
-            jax.device_get(state.beta)
             if step_log:
                 nonlocal t_last
+                beta_nops = jax.device_get((state.beta, state.nops))
                 now = _time.perf_counter()
                 print(
-                    f"[stepped] op {int(jax.device_get(state.nops))} "
+                    f"[stepped] op {int(beta_nops[1])} "
                     f"+{now - t_last:.2f}s",
                     file=sys.stderr,
                     flush=True,
                 )
                 t_last = now
+            else:
+                jax.device_get(state.beta)
             return state
 
         if self._resume_carry is not None:
