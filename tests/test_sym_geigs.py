@@ -208,3 +208,32 @@ class TestIterativeShiftInvert:
         vecs = np.asarray(eigs.eigenvectors())
         resid = np.abs(A @ vecs - B @ vecs * vals[None, :]).max()
         assert resid < 1e-6
+
+    @pytest.mark.parametrize("mode_name", ["Buckling", "Cayley"])
+    def test_iterative_route_other_modes(self, mode_name):
+        """Buckling and Cayley modes through the on-device iterative
+        shift-solve (MINRES: the shifted pencil matrix is symmetric
+        indefinite in general) — the callback-free-runtime path for
+        every spectral-transform mode, not just ShiftInvert."""
+        g = 10
+        lap1 = sps.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(g, g))
+        K = (
+            sps.kron(sps.eye(g), lap1) + sps.kron(lap1, sps.eye(g))
+        ).tocsr() + 0.5 * sps.eye(g * g)
+        m1 = sps.diags([1.0 / 6, 2.0 / 3, 1.0 / 6], [-1, 0, 1], shape=(g, g))
+        B = sps.kron(sps.eye(g), m1).tocsr()
+        n, k, m, sigma = g * g, 3, 12, 0.25
+        mode = getattr(GEigsMode, mode_name)
+        op = st.SymShiftInvert.create(K, B, method="minres")
+        # Buckling's second operator supplies K (the reference's KOp);
+        # ShiftInvert/Cayley take B.
+        second = K if mode == GEigsMode.Buckling else B
+        bop = st.SparseSymMatProd.from_full(second)
+        eigs = st.SymGEigsShiftSolver(op, bop, nev=k, ncv=m, sigma=sigma, mode=mode)
+        eigs.init()
+        nconv = eigs.compute(st.SortRule.LargestMagn, tol=1e-9)
+        assert nconv == k and eigs.info() == st.CompInfo.Successful
+        vals = np.asarray(eigs.eigenvalues())
+        vecs = np.asarray(eigs.eigenvectors())
+        resid = np.abs(K @ vecs - B @ vecs * vals[None, :]).max()
+        assert resid < 1e-7
