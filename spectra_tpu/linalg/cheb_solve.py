@@ -110,7 +110,8 @@ def _chebyshev_solve_impl(
 ):
     """Solve ``A x = b`` for SPD ``A`` with spectrum in ``(0, beta]``.
 
-    Returns ``(x, relative_residual, final_state)``. Pure jnp under lax loops —
+    Returns ``(x, relative_residual, final_state)``. Pure jnp under
+    lax loops —
     compiles into an outer program like any operator; one residual
     norm per ``check_every`` iterations is the only reduction.
 
@@ -291,7 +292,8 @@ def estimate_spd_interval(shifted_csr, iters: int = 60, safety: float = 0.5):
     import scipy.linalg as sla
 
     theta = sla.eigh_tridiagonal(
-        a[:m], bsub[: m - 1], eigvals_only=True, select="i", select_range=(0, 0)
+        a[:m], bsub[: m - 1], eigvals_only=True, select="i",
+        select_range=(0, 0),
     )[0]
     if theta <= 0:
         raise ValueError(
