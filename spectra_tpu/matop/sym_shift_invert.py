@@ -84,7 +84,8 @@ class SymShiftInvert:
 
     ``create(A, B, uplo_A="L", uplo_B="L", method=None)`` — pass
     ``B=None`` for the standard problem (B = I). ``method`` overrides
-    the automatic direct-factorizer choice with ``"cg"``.
+    the automatic factorizer choice with an iterative on-device solve:
+    ``"minres"`` (alias ``"cg"``), ``"cheb"``, or ``"bicgstab"``.
     """
 
     def __init__(self, A, B=None, uplo_A="L", uplo_B="L", method=None):
