@@ -237,3 +237,29 @@ class TestIterativeShiftInvert:
         vecs = np.asarray(eigs.eigenvectors())
         resid = np.abs(K @ vecs - B @ vecs * vals[None, :]).max()
         assert resid < 1e-7
+
+    def test_matvec_granularity_parity(self):
+        """Stepped execution through the B-inner-product generalized
+        solver replays the compiled driver's decisions exactly."""
+        g = 14
+        A, B, n = self._grid_pair(g)
+
+        def solve(stepped):
+            op = st.SymShiftInvert.create(A, B, method="minres")
+            bop = st.SparseSymMatProd.from_full(B)
+            e = st.SymGEigsShiftSolver(op, bop, nev=4, ncv=16, sigma=0.0)
+            if stepped:
+                e.set_matvec_granularity(True)
+            e.init()
+            nc = e.compute(st.SortRule.LargestMagn, tol=1e-8)
+            return nc, e
+
+        nc_ref, ref = solve(False)
+        nc_st, stp = solve(True)
+        assert nc_ref == nc_st == 4
+        assert stp.num_iterations() == ref.num_iterations()
+        assert stp.num_operations() == ref.num_operations()
+        np.testing.assert_allclose(
+            np.sort(stp.eigenvalues()), np.sort(ref.eigenvalues()),
+            rtol=0, atol=1e-10,
+        )
