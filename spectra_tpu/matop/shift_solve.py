@@ -590,6 +590,10 @@ class SparseSymShiftSolve:
             cheb_degree=cheb_degree,
             cheb_interval=cheb_interval,
         )
+        # (alpha, beta, sigma) of the last Chebyshev interval learned
+        # by set_shift — reused across shifts by exact translation (the
+        # spectrum-slicing sigma-sweep optimization; see set_shift).
+        self._learned_interval = None
 
     @property
     def dtype(self):
@@ -606,9 +610,35 @@ class SparseSymShiftSolve:
         return cls(csr, uplo, method, **kwargs)
 
     def set_shift(self, sigma):
-        return _build_sparse_shift(
-            self._csr, sigma, self._method, **self._iter_opts
-        )
+        """Build the ``(A - sigma I)^{-1}`` operator for this shift.
+
+        Sigma sweeps (spectrum slicing) reuse the learned Chebyshev
+        interval across shifts: ``eig(A - s' I) = eig(A - s I) -
+        (s' - s)`` exactly, so a bound ``[alpha, beta]`` learned for
+        one shift translates to ``[alpha - d, beta - d]`` for the
+        next — skipping the cold discovery solve that re-learning
+        pays at every shift (~45% of a cold solve at n = 1e6). The
+        translated bound is only used while the shifted matrix stays
+        safely SPD (``alpha - d > 0``); otherwise the auto-learning
+        path runs as before. A user-pinned ``cheb_interval`` is never
+        overridden."""
+        opts = dict(self._iter_opts)
+        if opts.get("cheb_interval") is None and self._learned_interval:
+            a0, b0, s0 = self._learned_interval
+            d = float(np.real(sigma)) - s0
+            if a0 - d > 0 and b0 - d > a0 - d:
+                opts["cheb_interval"] = (a0 - d, b0 - d)
+        op = _build_sparse_shift(self._csr, sigma, self._method, **opts)
+        if (
+            self._iter_opts.get("cheb_interval") is None
+            and getattr(op, "method", None) == "cheb"
+            and op.cheb_interval is not None
+        ):
+            a, b = op.cheb_interval
+            self._learned_interval = (
+                float(a), float(b), float(np.real(sigma))
+            )
+        return op
 
 
 class SparseGenRealShiftSolve:

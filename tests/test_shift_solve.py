@@ -240,6 +240,59 @@ class TestChebyshevInnerSolve:
         lam = np.sort((mu[:, None] + 1.37 * mu[None, :]).ravel())[:4]
         np.testing.assert_allclose(vals, lam, rtol=1e-7)
 
+    def test_cheb_interval_translates_across_shifts(self):
+        """A sigma sweep reuses the learned Chebyshev interval by exact
+        translation: eig(A - s'I) = eig(A - sI) - (s' - s), so the
+        second set_shift must carry [alpha - d, beta - d] verbatim
+        (bitwise, since no re-learning solve runs) and still produce a
+        correct inverse operator."""
+        g = 30
+        lap1 = sps.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(g, g))
+        A = (
+            sps.kron(sps.eye(g), lap1) + 1.37 * sps.kron(lap1, sps.eye(g))
+        ).tocsr()
+        w = st.SparseSymShiftSolve.create(A, method="cheb")
+        op1 = w.set_shift(0.0)
+        a1, b1 = op1.cheb_interval
+        assert a1 > 0
+        # second shift, still well below lambda_min (~2.37 mu_1): the
+        # translated interval stays SPD-safe and is reused verbatim.
+        sigma2 = -0.5
+        op2 = w.set_shift(sigma2)
+        a2, b2 = op2.cheb_interval
+        assert a2 == a1 + 0.5 and b2 == b1 + 0.5
+        import jax.numpy as jnp
+        import scipy.sparse.linalg as spla
+
+        rng = np.random.default_rng(3)
+        x = rng.standard_normal(A.shape[0])
+        y = np.asarray(op2.with_inner_rtol(1e-12).perform_op(jnp.asarray(x)))
+        y_ref = spla.spsolve(
+            (A - sigma2 * sps.eye(A.shape[0])).tocsc(), x
+        )
+        np.testing.assert_allclose(y, y_ref, rtol=1e-8, atol=1e-10)
+
+    def test_cheb_interval_relearns_when_translation_unsafe(self):
+        """When the translated lower bound would be <= 0 (shift moved
+        at/above the learned alpha), set_shift falls back to the
+        auto-learning path instead of running Chebyshev on a possibly
+        indefinite interval."""
+        g = 30
+        lap1 = sps.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(g, g))
+        A = (
+            sps.kron(sps.eye(g), lap1) + 1.37 * sps.kron(lap1, sps.eye(g))
+        ).tocsr()
+        w = st.SparseSymShiftSolve.create(A, method="cheb")
+        op1 = w.set_shift(-2.0)
+        a1, _ = op1.cheb_interval
+        # sigma2 chosen so a1 - (sigma2 - sigma1) <= 0 but the matrix
+        # is still SPD (sigma2 < lambda_min): must re-learn, not reuse.
+        sigma2 = -2.0 + a1
+        op2 = w.set_shift(sigma2)
+        a2, _ = op2.cheb_interval
+        assert a2 > 0
+        assert a2 != pytest.approx(a1 - (sigma2 - (-2.0)), abs=0.0)
+
     def test_recompute_tighter_tol_recouples_inner_rtol(self):
         """A second compute() with a tighter tol must tighten the inner
         solve too: the coupled inner_rtol is re-derived per compute(),
