@@ -275,6 +275,25 @@ def main():
     from spectra_tpu.util.capabilities import host_callbacks_supported
 
     details_path = os.path.join(os.path.dirname(__file__), "bench_details.json")
+    try:
+        with open(details_path) as f:
+            prior = json.load(f)
+    except Exception:
+        prior = {}
+
+    def _keep_stale(key, err):
+        """A failed/skipped case must not silently erase the last
+        measured result: keep the prior block, marked stale, with this
+        run's error alongside."""
+        old = prior.get(key)
+        if isinstance(old, dict) and "error" not in old:
+            details[key] = {
+                **old,
+                "stale_from_previous_run": True,
+                "error_this_run": repr(err)[:800],
+            }
+        else:
+            details[key] = {"error": repr(err)[:800]}
 
     def _flush():
         with open(details_path, "w") as f:
@@ -283,12 +302,12 @@ def main():
     try:
         details["dense_n1000_k3"] = _bench_dense_config()
     except Exception as err:
-        details["dense_n1000_k3"] = {"error": repr(err)}
+        _keep_stale("dense_n1000_k3", err)
     _flush()
     try:
         details["chebyshev_1M_k10_largest"] = _bench_chebyshev(A, v0)
     except Exception as err:
-        details["chebyshev_1M_k10_largest"] = {"error": repr(err)}
+        _keep_stale("chebyshev_1M_k10_largest", err)
     _flush()
 
     # Shift-invert at n=1e6 LAST: on the remote accelerator a long
@@ -301,7 +320,7 @@ def main():
                 "arpack": _solve_arpack_shift_invert(A, 10, 30, v0),
             }
         except Exception as err:  # keep the headline metric robust
-            details["shift_invert_1M_k10"] = {"error": repr(err)}
+            _keep_stale("shift_invert_1M_k10", err)
     else:
         # Callback-free accelerator: fully on-device shift-invert — the
         # inner (A - sigma I)^{-1} is a compiled MINRES over the DIA
@@ -341,7 +360,7 @@ def main():
                 "device execution (matvec granularity)",
             }
         except Exception as err:
-            details["shift_invert_1M_k10"] = {"error": repr(err)[:800]}
+            _keep_stale("shift_invert_1M_k10", err)
     _flush()
 
 

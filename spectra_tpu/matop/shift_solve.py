@@ -618,15 +618,22 @@ class SparseSymShiftSolve:
         one shift translates to ``[alpha - d, beta - d]`` for the
         next — skipping the cold discovery solve that re-learning
         pays at every shift (~45% of a cold solve at n = 1e6). The
-        translated bound is only used while the shifted matrix stays
-        safely SPD (``alpha - d > 0``); otherwise the auto-learning
-        path runs as before. A user-pinned ``cheb_interval`` is never
-        overridden."""
+        translated bound is reused only while its lower edge keeps a
+        margin above zero relative to the interval width
+        (``alpha - d > c (beta - d)``, c = 1e-3). This is a heuristic,
+        not a certificate: the learned ``alpha`` is a rate-adaptive
+        estimate, not a proven lower bound on ``lambda_min``
+        (cheb_solve.py interval semantics), so a genuinely indefinite
+        translation can still slip through — Chebyshev then diverges
+        and is NaN-poisoned, a loud failure the caller's backward-error
+        guard surfaces. Near-indefinite translations (margin below c)
+        fall back to the auto-learning path. A user-pinned
+        ``cheb_interval`` is never overridden."""
         opts = dict(self._iter_opts)
         if opts.get("cheb_interval") is None and self._learned_interval:
             a0, b0, s0 = self._learned_interval
             d = float(np.real(sigma)) - s0
-            if a0 - d > 0 and b0 - d > a0 - d:
+            if a0 - d > 1e-3 * (b0 - d):
                 opts["cheb_interval"] = (a0 - d, b0 - d)
         op = _build_sparse_shift(self._csr, sigma, self._method, **opts)
         if (
