@@ -1,0 +1,130 @@
+"""North-star flavor on ONE chip: 100M-nnz Laplacian, k=20 smallest.
+
+BASELINE.json's acceptance run is "k=20 smallest eigenpairs of a
+100M-nnz sparse symmetric Laplacian on a v5p-16, matching Spectra to
+1e-9". Multi-host hardware is not available in this environment; this
+script runs the same problem class END-TO-END on the single v5e:
+
+  * matrix: 3-D 7-point grid Laplacian at g=243 -> n = 14.35M nodes,
+    nnz = 100.0M (the 3-D analogue keeps kappa ~ (g/pi)^2 manageable
+    at this size; a 2-D matrix with 100M nnz would have kappa ~ 1e7);
+  * primary metric: in-loop DIA SpMV nnz/s at 100M nnz;
+  * solver: SymEigsShiftSolver at sigma=0 with the geometric-multigrid
+    inner solve (O(1) V-cycles per solve), k=20, ncv=40, tol=1e-10;
+  * validation: eigenvalues vs the analytic spectrum
+    lambda_{ijk} = mu_i + mu_j + mu_k, mu_i = 4 sin^2(i pi / 2(g+1)).
+
+Stages through g to bound worker risk; one JSON line per stage.
+Usage: python scripts/tpu_northstar_100m.py [g ...]   (default 64 243)
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+import scipy.sparse as sps
+
+sys.path.insert(0, "/root/repo")
+
+import spectra_tpu as st  # noqa: E402
+from spectra_tpu.util.rng import SimpleRandom  # noqa: E402
+
+
+def lap3d(g):
+    l1 = sps.diags(
+        [-1.0, 2.0, -1.0], [-1, 0, 1], shape=(g, g), dtype=np.float64
+    )
+    e = sps.eye(g)
+    return (
+        sps.kron(sps.kron(l1, e), e)
+        + sps.kron(sps.kron(e, l1), e)
+        + sps.kron(sps.kron(e, e), l1)
+    ).tocsr()
+
+
+def analytic_smallest(g, k):
+    i = np.arange(1, g + 1)
+    mu = 4 * np.sin(np.pi * i / (2 * (g + 1))) ** 2
+    # smallest k of the 3-D sum spectrum: only small mu contribute
+    m = mu[: min(g, 64)]
+    lam = (
+        m[:, None, None] + m[None, :, None] + m[None, None, :]
+    ).ravel()
+    return np.sort(lam)[:k]
+
+
+def spmv_throughput(op, v0, nnz, k_lo=10, k_hi=210):
+    import functools
+
+    import jax
+    import numpy as np
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def loop(x, k):
+        return jax.lax.fori_loop(
+            0, k, lambda i, v: op.perform_op(v) * (1.0 / 12.0), x
+        )
+
+    for k in (k_lo, k_hi):
+        _ = np.asarray(loop(v0, k=k)[0])
+
+    def timed(k, reps=3):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _ = np.asarray(loop(v0, k=k)[0])
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    dt = (timed(k_hi) - timed(k_lo)) / (k_hi - k_lo)
+    return nnz / dt, dt
+
+
+def run(g: int, k: int = 20, ncv: int = 40):
+    import jax.numpy as jnp
+
+    A = lap3d(g)
+    n, nnz = A.shape[0], A.nnz
+    v0 = SimpleRandom(0).random_vec(n)
+
+    op_a = st.SparseSymMatProd.from_full(A)
+    nnz_s, t_spmv = spmv_throughput(op_a, jnp.asarray(v0), nnz)
+
+    t0 = time.perf_counter()
+    op = st.SparseSymShiftSolve.create(A, method="mg").set_shift(0.0)
+    t_factor = time.perf_counter() - t0
+
+    eigs = st.SymEigsShiftSolver.from_factored(op, k, ncv, 0.0)
+    eigs.set_matvec_granularity(True)
+    eigs.init(v0)
+    t0 = time.perf_counter()
+    nconv = eigs.compute(st.SortRule.LargestMagn, maxit=60, tol=1e-10)
+    t_solve = time.perf_counter() - t0
+
+    vals = np.sort(np.asarray(eigs.eigenvalues()))
+    out = {
+        "g": g,
+        "n": n,
+        "nnz": int(nnz),
+        "spmv_gnnz_s": round(nnz_s / 1e9, 2),
+        "spmv_s": t_spmv,
+        "inner_solver": "mg" if op.method == "mg" else op.method,
+        "hierarchy_build_s": round(t_factor, 2),
+        "solve_s": round(t_solve, 2),
+        "nconv": int(nconv),
+        "info": str(eigs.info()),
+        "niter": eigs.num_iterations(),
+        "nops": eigs.num_operations(),
+    }
+    if len(vals):
+        lam = analytic_smallest(g, len(vals))
+        out["eval_abs_err"] = float(np.abs(vals - lam).max())
+        out["eval_rel_err"] = float((np.abs(vals - lam) / lam).max())
+    print(json.dumps(out), flush=True)
+    return out
+
+
+if __name__ == "__main__":
+    for arg in sys.argv[1:] or ["64", "243"]:
+        run(int(arg))

@@ -28,16 +28,18 @@ def run(g: int):
     v0 = SimpleRandom(0).random_vec(n)
 
     t0 = time.perf_counter()
-    # Chebyshev semi-iteration inner solve: A - 0*I is SPD; MINRES at
-    # n=1e6 costs ~6.7 ms/iteration on this runtime (reduction latency)
-    # = ~27 s/solve, while the reduction-free semi-iteration runs the
-    # same iteration count at ~0.25 ms/iteration.
-    op = st.SparseSymShiftSolve.create(A, method="cheb").set_shift(0.0)
+    # Geometric-multigrid inner solve (linalg/multigrid.py): ~11
+    # V(2,2) cycles / 52 ms per solve at n=1e6 on the v5e — 142x the
+    # round-2 Chebyshev semi-iteration (~7.4 s/solve, O(sqrt(kappa))
+    # iterations), which remains the validated fallback when the
+    # matrix is not a grid stencil.
+    op = st.SparseSymShiftSolve.create(A, method="mg").set_shift(0.0)
     eigs = st.SymEigsShiftSolver.from_factored(op, 10, 30, 0.0)
-    # One inner MINRES solve per device execution: a whole restart in
-    # one execution (~20-30 inner solves, each thousands of SpMVs at
-    # n=1e6) exceeds the remote worker's execution watchdog and crashes
-    # it — observed in the round-2 driver bench run.
+    # One inner solve per device execution: bounds each execution well
+    # under the remote worker's watchdog (a whole restart in one
+    # execution crashed the round-2 driver bench with the iterative
+    # inner solves; with MG it would fit, but the granularity costs
+    # only ~25 ms/launch and keeps the safety margin).
     eigs.set_matvec_granularity(True)
     eigs.init(v0)
     nconv = eigs.compute(st.SortRule.LargestMagn, maxit=50, tol=1e-10)

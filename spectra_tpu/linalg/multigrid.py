@@ -1,0 +1,508 @@
+"""Geometric multigrid inner solver for grid-structured shift systems.
+
+The reference factorizes ``A - sigma I`` with a serial sparse direct
+method (SparseSymShiftSolve.h:85-102, SuperLU via Eigen::SparseLU) — a
+host-resident, O(n^1.5) (2-D) / O(n^2) (3-D) approach with no TPU
+equivalent. The on-device Krylov/Chebyshev inner solves (cheb_solve.py)
+made shift-invert *run* at n = 1e6, but they pay O(sqrt(kappa)) SpMVs
+per solve — ~2,000 iterations for the 1M-node 2-D Laplacian at
+sigma = 0. For operators that live on a regular 1-/2-/3-D grid (the
+flagship workload: grid Laplacians, FEM stencils), geometric multigrid
+is the algorithmically optimal inverse: O(1) V-cycles per digit,
+independent of n, each cycle a handful of stencil sweeps — exactly the
+bandwidth-bound, reduction-free, statically-shaped work TPUs are best
+at.
+
+Design (TPU-first):
+  * Hierarchy built ONCE on the host from the scipy CSR of the shifted
+    matrix: Galerkin coarse operators ``A_c = P^T A P`` with tensor
+    bilinear/trilinear prolongation (scipy sparse products; the
+    analogue of the reference's one-time ``set_shift`` factorization).
+    Coarse operators stay banded (9-point in 2-D, 27-point in 3-D) and
+    ship to the device in DIA form — gather-free SpMVs at every level.
+  * Grid transfers on device are strided-slice tensor operations
+    (restrict = [1/2, 1, 1/2]^T per axis, prolong its transpose) — no
+    gathers, no stored transfer matrices; unit tests pin them to the
+    host ``P``/``P^T`` used for the Galerkin products.
+  * The V-cycle is one pure jitted function: damped-Jacobi smoothing
+    (reduction-free), a dense precomputed inverse at the coarsest
+    level, and a single residual-norm reduction per cycle for the
+    stopping test — the same latency discipline as the Chebyshev
+    semi-iteration, at ~100x fewer fine-grid sweeps.
+  * Robustness: multigrid assumes an elliptic (SPD-ish) operator.
+    ``build_mg`` raises :class:`MGBuildError` when the matrix is not
+    grid-structured; callers validate with one on-device trial solve
+    and fall back to Chebyshev/MINRES (shift_solve.py routing). Every
+    production solve is still NaN-poisoned on backward error by the
+    caller, so a silently wrong hierarchy cannot produce quiet wrong
+    eigenpairs.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spectra_tpu.util.pytree import pytree_dataclass
+
+
+class MGBuildError(RuntimeError):
+    """The matrix is not (recognizably) a regular-grid stencil."""
+
+
+# ---------------------------------------------------------------------------
+# Grid inference
+# ---------------------------------------------------------------------------
+
+
+def _decompose_offset(off, strides, radius):
+    """Write ``off`` as sum_d c_d * strides[d] with |c_d| <= radius;
+    strides descending. Returns the coefficient list or None."""
+    cs = []
+    rem = off
+    for s in strides:
+        c = int(round(rem / s))
+        c = max(-radius, min(radius, c))
+        # choose the representative that keeps the remainder smallest
+        best, best_rem = None, None
+        for cand in (c - 1, c, c + 1):
+            if abs(cand) > radius:
+                continue
+            r2 = rem - cand * s
+            if best is None or abs(r2) < abs(best_rem):
+                best, best_rem = cand, r2
+        cs.append(best)
+        rem = best_rem
+    if rem != 0:
+        return None
+    return cs
+
+
+def infer_grid_dims(offsets, n, radius: int = 2):
+    """Infer grid dimensions from DIA offsets: find ``dims`` (row-major,
+    index = i0*d1*d2 + i1*d2 + i2) such that every offset decomposes
+    into per-axis steps of magnitude <= ``radius``. Tries 1-D, then 2-D
+    (stride = some positive offset dividing n), then 3-D. Returns the
+    candidate with the smallest total stencil extent, or None."""
+    offsets = sorted(set(int(o) for o in offsets))
+    pos = [o for o in offsets if o > 0]
+    candidates = []
+
+    # 1-D: plain band
+    if not pos or max(pos) <= radius:
+        candidates.append(((n,), sum(abs(o) for o in offsets)))
+
+    # 2-D: stride gx taken from the offsets themselves (a grid stencil
+    # always contains a +-gx neighbor or a +-(gx +- 1) diagonal)
+    strides_2d = set()
+    for o in pos:
+        for s in (o - 1, o, o + 1):
+            if s > radius and n % s == 0 and n // s >= 2:
+                strides_2d.add(s)
+    for gx in sorted(strides_2d):
+        gy = n // gx
+        cost = 0
+        ok = True
+        for o in offsets:
+            cs = _decompose_offset(o, (gx, 1), radius)
+            # per-axis steps must stay within the grid (|dx| < gx)
+            if cs is None or abs(cs[1]) >= gx:
+                ok = False
+                break
+            cost += abs(cs[0]) + abs(cs[1])
+        if ok:
+            candidates.append(((gy, gx), cost))
+
+    # 3-D: plane stride s2 and row stride s1 from offset pairs
+    strides_pairs = set()
+    for s1 in sorted(strides_2d):
+        for o in pos:
+            for s2 in (o - 1, o, o + 1):
+                if (
+                    s2 > s1
+                    and s2 % s1 == 0
+                    and n % s2 == 0
+                    and s2 // s1 >= 2
+                    and n // s2 >= 2
+                ):
+                    strides_pairs.add((s1, s2))
+    for s1, s2 in sorted(strides_pairs):
+        gx, gy, gz = s1, s2 // s1, n // s2
+        cost = 0
+        ok = True
+        for o in offsets:
+            cs = _decompose_offset(o, (s2, s1, 1), radius)
+            if cs is None or abs(cs[2]) >= gx or abs(cs[1]) >= gy:
+                ok = False
+                break
+            cost += sum(abs(c) for c in cs)
+        if ok:
+            candidates.append(((gz, gy, gx), cost))
+
+    if not candidates:
+        return None
+    # fewest axis-steps first; on ties prefer FEWER axes (a tridiagonal
+    # band also decomposes over an (n/2, 2) pseudo-grid at equal cost —
+    # the 1-D reading is the physical one), then balanced dims.
+    candidates.sort(key=lambda c: (c[1], len(c[0]), max(c[0])))
+    return candidates[0][0]
+
+
+# ---------------------------------------------------------------------------
+# Host-side transfer matrices (for Galerkin products and tests)
+# ---------------------------------------------------------------------------
+
+
+def prolong_1d_matrix(g: int, boundary: str = "clip"):
+    """The 1-D linear-interpolation prolongation ``P`` (g x gc),
+    coarse point i at fine point 2i: P[2i, i] = 1,
+    P[2i+1, i] = P[2i+1, i+1] = 1/2.
+
+    ``boundary`` sets the weight of the boundary-clipped odd point
+    (only exists for even g): ``"clip"`` keeps 1/2 — the implicit
+    zero-extension matching Dirichlet-type operators, where the error
+    vanishes at the boundary; ``"const"`` uses full weight so that
+    ``P @ 1 == 1`` — required for Neumann/graph-Laplacian operators,
+    whose near-null constant mode a clipped P mangles (measured V(2,2)
+    contraction 0.57 vs 0.08 either way round on the mismatched
+    boundary type)."""
+    import scipy.sparse as sps
+
+    gc = (g + 1) // 2
+    rows, cols, vals = [], [], []
+    for i in range(gc):
+        rows.append(2 * i)
+        cols.append(i)
+        vals.append(1.0)
+    for j in range(1, g, 2):
+        i = (j - 1) // 2
+        if i + 1 < gc:
+            rows.extend([j, j])
+            cols.extend([i, i + 1])
+            vals.extend([0.5, 0.5])
+        else:
+            rows.append(j)
+            cols.append(i)
+            vals.append(1.0 if boundary == "const" else 0.5)
+    return sps.csr_matrix((vals, (rows, cols)), shape=(g, gc))
+
+
+def prolong_matrix(dims, boundary: str = "clip"):
+    """Tensor-product prolongation for row-major ``dims``:
+    ``P = P_0 (x) P_1 (x) ...``."""
+    import scipy.sparse as sps
+
+    P = prolong_1d_matrix(dims[0], boundary)
+    for g in dims[1:]:
+        P = sps.kron(P, prolong_1d_matrix(g, boundary), format="csr")
+    return P
+
+
+def coarse_dims(dims):
+    return tuple((g + 1) // 2 for g in dims)
+
+
+# ---------------------------------------------------------------------------
+# Device-side transfers: strided tensor ops, no gathers
+# ---------------------------------------------------------------------------
+
+
+def _restrict_axis_last(x, g: int, gc: int, boundary: str):
+    """Apply R = P^T ([1/2, 1, 1/2] stencil at even points) along the
+    last axis: uc[i] = u[2i] + (u[2i-1] + u[2i+1]) / 2; with
+    ``boundary="const"`` (even g) the boundary-clipped fine point
+    contributes with full weight (transpose of the
+    constant-preserving P)."""
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(1, 1)])
+    center = xp[..., 1 : 2 * gc : 2]
+    left = xp[..., 0 : 2 * gc : 2]
+    right = xp[..., 2 : 2 * gc + 2 : 2]
+    out = center + 0.5 * (left + right)
+    if boundary == "const" and g % 2 == 0:
+        out = out.at[..., -1].add(0.5 * x[..., -1])
+    return out
+
+
+def _prolong_axis_last(c, gc: int, g: int, boundary: str):
+    """Apply P along the last axis: y[2i] = c[i],
+    y[2i+1] = (c[i] + c[i+1]) / 2; with ``boundary="const"`` the
+    boundary-clipped odd point (even g) takes c[gc-1] with full weight
+    (edge-replicate padding), so constants prolong to constants."""
+    n_odd = g // 2
+    if boundary == "const":
+        cpad = jnp.concatenate([c, c[..., -1:]], axis=-1)
+    else:
+        cpad = jnp.pad(c, [(0, 0)] * (c.ndim - 1) + [(0, 1)])
+    odd = 0.5 * (c + cpad[..., 1 : gc + 1])
+    y = jnp.zeros(c.shape[:-1] + (g,), c.dtype)
+    y = y.at[..., 0::2].set(c)
+    y = y.at[..., 1::2].set(odd[..., :n_odd])
+    return y
+
+
+def _apply_per_axis(x_flat, dims_in, dims_out, axis_op, boundary):
+    x = x_flat.reshape(dims_in)
+    for ax in range(len(dims_in)):
+        x = jnp.moveaxis(x, ax, -1)
+        x = axis_op(x, dims_in[ax], dims_out[ax], boundary)
+        x = jnp.moveaxis(x, -1, ax)
+    return x.reshape((-1,))
+
+
+def restrict_nd(r_flat, dims_f, dims_c, boundary: str = "clip"):
+    """Device restriction ``P^T r`` via per-axis strided slices."""
+    return _apply_per_axis(
+        r_flat, dims_f, dims_c, _restrict_axis_last, boundary
+    )
+
+
+def prolong_nd(e_flat, dims_c, dims_f, boundary: str = "clip"):
+    """Device prolongation ``P e`` via per-axis strided updates."""
+    return _apply_per_axis(
+        e_flat, dims_c, dims_f, _prolong_axis_last, boundary
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchy
+# ---------------------------------------------------------------------------
+
+
+@pytree_dataclass(meta_fields=("dims_per_level", "nu1", "nu2", "boundary"))
+class MGState:
+    """One built multigrid hierarchy (a pytree — jit-traceable).
+
+    ``ops[l]`` is the level-l operator (DiaMatrix, finest = original
+    shifted matrix), ``inv_diags[l]`` the Jacobi scaling,
+    ``lam_max[l]`` the (overestimated) largest eigenvalue of
+    ``D^{-1} A_l`` driving the Chebyshev-Jacobi smoother, and
+    ``coarse_inv`` the dense inverse of the coarsest Galerkin operator.
+    ``dims_per_level`` includes the coarsest level's dims. Smoother
+    intervals are pytree *leaves* (traced scalars), so re-shifting
+    rebuilds the hierarchy without recompiling the outer program."""
+
+    ops: tuple
+    inv_diags: tuple
+    lam_max: tuple
+    coarse_inv: jnp.ndarray
+    dims_per_level: tuple
+    nu1: int = 2
+    nu2: int = 2
+    boundary: str = "clip"
+
+    @property
+    def n(self) -> int:
+        return int(np.prod(self.dims_per_level[0]))
+
+
+def _lam_max_jacobi(csr, diag, iters: int = 20, seed: int = 7) -> float:
+    """Overestimate of ``lambda_max(D^{-1} A)`` (power iteration +
+    10% safety) — the Chebyshev smoother's upper interval edge. The
+    Jacobi-preconditioned operator is similar to the symmetric
+    ``D^{-1/2} A D^{-1/2}``, so its spectrum is real."""
+    rng = np.random.default_rng(seed)
+    v = rng.normal(size=csr.shape[0])
+    v /= np.linalg.norm(v)
+    lam = 1.0
+    for _ in range(iters):
+        w = (csr @ v) / diag
+        lam = float(np.linalg.norm(w))
+        if lam == 0 or not np.isfinite(lam):
+            raise MGBuildError("D^{-1} A power iteration degenerated")
+        v = w / lam
+    return 1.1 * lam
+
+
+def build_mg(
+    shifted_csr,
+    dims=None,
+    max_coarse_n: int = 1024,
+    min_dim: int = 3,
+    nu1: int = 2,
+    nu2: int = 2,
+    max_diags: int = 40,
+    dtype=None,
+    boundary: str = "auto",
+):
+    """Build an :class:`MGState` for a grid-stencil ``shifted_csr``
+    (already ``A - sigma I`` / ``A - sigma B``). ``dims`` (row-major
+    grid shape) is inferred from the sparsity when not given. Raises
+    :class:`MGBuildError` when no grid structure is found, when a
+    coarse operator stops being banded, or when the coarsest matrix is
+    numerically singular — callers fall back to the Krylov/Chebyshev
+    inner solves."""
+    import scipy.sparse as sps
+
+    from spectra_tpu.sparse.formats import dia_from_scipy
+
+    A = shifted_csr.tocsr()
+    n = A.shape[0]
+    if dims is None:
+        coo = A.tocoo()
+        offsets = np.unique(coo.col - coo.row)
+        if len(offsets) > max_diags:
+            raise MGBuildError(
+                f"{len(offsets)} distinct diagonals — not a grid stencil"
+            )
+        dims = infer_grid_dims(offsets, n)
+        if dims is None:
+            raise MGBuildError("no grid shape matches the sparsity")
+    dims = tuple(int(g) for g in dims)
+    if int(np.prod(dims)) != n:
+        raise MGBuildError(f"grid {dims} does not match n={n}")
+    if boundary == "auto":
+        # Dirichlet-type operators have O(diag)-sized boundary row
+        # sums (the eliminated exterior neighbors); Neumann/graph
+        # Laplacians have (near-)zero row sums everywhere, and their
+        # near-null constant mode needs the constant-preserving P.
+        rowsum = np.abs(A @ np.ones(n))
+        dmax = np.abs(A.diagonal()).max()
+        boundary = "const" if rowsum.max() <= 0.1 * dmax else "clip"
+
+    ops, inv_diags, lam_max, dims_per_level = [], [], [], []
+    level_csr, level_dims = A, dims
+    # Coarsen at least once whenever the grid allows it: a 1-level
+    # V-cycle on a small grid is still a better inner solve than a
+    # Krylov iteration, and the trial validation gates quality.
+    while min(level_dims) >= 2 * min_dim and (
+        not ops or int(np.prod(level_dims)) > max_coarse_n
+    ):
+        coo = level_csr.tocoo()
+        if len(np.unique(coo.col - coo.row)) > max_diags:
+            raise MGBuildError("coarse operator stopped being banded")
+        diag = level_csr.diagonal()
+        if np.any(diag == 0) or not np.all(np.isfinite(diag)):
+            raise MGBuildError("zero/nonfinite diagonal — Jacobi smoother n/a")
+        ops.append(dia_from_scipy(level_csr, dtype=dtype))
+        inv_diags.append(
+            jnp.asarray(1.0 / diag if dtype is None else (1.0 / diag).astype(dtype))
+        )
+        lam_max.append(jnp.asarray(_lam_max_jacobi(level_csr, diag)))
+        dims_per_level.append(level_dims)
+        P = prolong_matrix(level_dims, boundary)
+        level_csr = (P.T @ level_csr @ P).tocsr()
+        level_csr.sum_duplicates()
+        # Drop numerically-zero fill so the coarse DIA stays tight.
+        level_csr.data[np.abs(level_csr.data) < 1e-300] = 0.0
+        level_csr.eliminate_zeros()
+        level_dims = coarse_dims(level_dims)
+
+    dims_per_level.append(level_dims)
+    dense = np.asarray(level_csr.todense(), dtype=np.float64)
+    # Guard: a (nearly) singular coarsest operator means sigma sits on
+    # a coarse eigenvalue — the stationary cycle would amplify, not
+    # contract. cond() on a <= max_coarse_n matrix is cheap.
+    if not np.all(np.isfinite(dense)):
+        raise MGBuildError("nonfinite coarse operator")
+    cond = np.linalg.cond(dense)
+    if not np.isfinite(cond) or cond > 1e13:
+        raise MGBuildError(f"coarsest level ill-conditioned (cond={cond:.2e})")
+    coarse_inv = np.linalg.inv(dense)
+    if dtype is not None:
+        coarse_inv = coarse_inv.astype(dtype)
+    elif ops:
+        coarse_inv = coarse_inv.astype(np.asarray(ops[0].data).dtype)
+
+    if not ops:
+        raise MGBuildError(f"grid {dims} too small for a hierarchy")
+
+    return MGState(
+        ops=tuple(ops),
+        inv_diags=tuple(inv_diags),
+        lam_max=tuple(lam_max),
+        coarse_inv=jnp.asarray(coarse_inv),
+        dims_per_level=tuple(dims_per_level),
+        nu1=int(nu1),
+        nu2=int(nu2),
+        boundary=boundary,
+    )
+
+
+# ---------------------------------------------------------------------------
+# V-cycle and solve
+# ---------------------------------------------------------------------------
+
+
+def _smooth(op, inv_diag, lam, x, b, degree):
+    """Degree-``degree`` Chebyshev-Jacobi smoother targeting
+    ``[lam/4, lam]`` of ``D^{-1} A`` — the standard polynomial smoother
+    (Adams et al., "Parallel multigrid smoothing", JCP 2003; used by
+    hypre/PETSc): per sweep one SpMV + elementwise work, zero
+    reductions, and a far flatter error polynomial on the oscillatory
+    half of the spectrum than damped Jacobi at equal cost — measured
+    V(2,2) contraction 0.08 vs 0.6 on a random-coefficient 5-point
+    operator."""
+    a = lam / 4.0
+    theta = (lam + a) / 2.0
+    delta = (lam - a) / 2.0
+    sigma = theta / delta
+    rho = 1.0 / sigma
+    r = inv_diag * (b - op.matvec(x))
+    d = r / theta
+    for _ in range(degree - 1):
+        x = x + d
+        r = r - inv_diag * op.matvec(d)
+        rho_new = 1.0 / (2.0 * sigma - rho)
+        d = (rho_new * rho) * d + (2.0 * rho_new / delta) * r
+        rho = rho_new
+    return x + d
+
+
+def v_cycle(mg: MGState, b, x):
+    """One V(nu1, nu2) cycle, fully unrolled over the (static) levels —
+    a single fused XLA program with zero reductions."""
+
+    def go(lv, b, x):
+        if lv == len(mg.ops):
+            return mg.coarse_inv @ b
+        op, inv_d, lam = mg.ops[lv], mg.inv_diags[lv], mg.lam_max[lv]
+        x = _smooth(op, inv_d, lam, x, b, mg.nu1)
+        r = b - op.matvec(x)
+        rc = restrict_nd(
+            r, mg.dims_per_level[lv], mg.dims_per_level[lv + 1], mg.boundary
+        )
+        ec = go(lv + 1, rc, jnp.zeros_like(rc))
+        x = x + prolong_nd(
+            ec, mg.dims_per_level[lv + 1], mg.dims_per_level[lv], mg.boundary
+        )
+        x = _smooth(op, inv_d, lam, x, b, mg.nu2)
+        return x
+
+    return go(0, b, x)
+
+
+def mg_solve(mg: MGState, b, rtol=1e-12, maxiter: int = 100, x0=None):
+    """Stationary multigrid iteration ``x += V(b - A x)`` to relative
+    residual ``rtol`` — one reduction (the stopping test) per cycle.
+    Returns ``(x, cycles)``; non-contraction shows up as a residual
+    that stops decreasing, which the caller's backward-error poisoning
+    turns into NaNs (shift_solve._poison_if_unconverged)."""
+    op = mg.ops[0]
+    b = b.astype(op.dtype)
+    x = jnp.zeros_like(b) if x0 is None else x0.astype(op.dtype)
+    bnorm = jnp.linalg.norm(b)
+    tol = rtol * jnp.maximum(bnorm, jnp.finfo(op.dtype).tiny)
+
+    def cond(carry):
+        x, r, k, rn, rn_prev = carry
+        still = (rn > tol) & (k < maxiter)
+        # stop when stalled: a cycle that no longer shaves 20% off the
+        # residual is not contracting (sigma inside the spectrum,
+        # non-elliptic operator) — burning the rest of maxiter would
+        # not help. A healthy V(2,2) cycle contracts by 5-10x.
+        progressing = rn < 0.8 * rn_prev
+        return still & (progressing | (k < 4))
+
+    def body(carry):
+        x, r, k, rn, rn_prev = carry
+        x = x + v_cycle(mg, r, jnp.zeros_like(r))
+        r = b - op.matvec(x)
+        return x, r, k + 1, jnp.linalg.norm(r), rn
+
+    r0 = b - op.matvec(x)
+    rn0 = jnp.linalg.norm(r0)
+    x, r, k, rn, _ = jax.lax.while_loop(
+        cond, body, (x, r0, jnp.zeros((), jnp.int32), rn0, jnp.inf * rn0)
+    )
+    return x, k

@@ -27,6 +27,11 @@ Design notes (SURVEY.md section 7, hard part #1):
     solve using the ELL SpMV, for problems too large to factor (the
     RegularInverse mode sets precedent for iterative inverse operators,
     reference: MatOp/SparseRegularInverse.h:105-116).
+  - ``method="mg"``: geometric-multigrid inner solve for regular-grid
+    stencils (:mod:`spectra_tpu.linalg.multigrid`) — O(1) V-cycles per
+    solve vs O(sqrt(kappa)) Krylov iterations; build-time
+    trial-validated, with MINRES fallback. The callback-free "auto"
+    resolution ("minres") tries this upgrade silently.
 
 Following the reference's API, ops are created unshifted and
 ``set_shift(sigma)`` performs the factorization; in our functional
@@ -340,6 +345,7 @@ class SparseShiftSolveBase:
     precond: str = "none"
     cheb_degree: int = 16
     cheb_interval: object = None  # (alpha, beta) floats, or None = auto
+    mg: object = None  # MGState when method == "mg"
     # True when inner_rtol was pinned by the USER (ctor arg or
     # with_inner_rtol): couple_inner_tolerance then leaves it alone.
     # Driver-coupled values are re-derived on every compute() — a
@@ -386,7 +392,17 @@ class SparseShiftSolveBase:
                 else coupled_inner_rtol(1e-10, work_dtype)
             )
             maxiter = min(10 * self.n, 20000)
-            if self.method == "cheb":
+            if self.method == "mg":
+                # Geometric multigrid: O(1) V-cycles per digit on
+                # grid-stencil operators vs O(sqrt(kappa)) Chebyshev/
+                # Krylov iterations — see linalg/multigrid.py. Built and
+                # trial-validated at set_shift; a hierarchy that stops
+                # contracting at run time stalls out and is NaN-poisoned
+                # below.
+                from spectra_tpu.linalg.multigrid import mg_solve
+
+                y, _ = mg_solve(self.mg, b, rtol=rtol, maxiter=100)
+            elif self.method == "cheb":
                 # Reduction-free Chebyshev semi-iteration (SPD shifted
                 # systems only; interval estimated at build time). ~25x
                 # cheaper per iteration than MINRES on runtimes where
@@ -475,6 +491,7 @@ def _build_sparse_shift(
     inner_rtol=None,
     cheb_degree=16,
     cheb_interval=None,
+    grid_dims=None,
 ):
     import scipy.sparse as sps
     import scipy.sparse.linalg as spla
@@ -501,7 +518,50 @@ def _build_sparse_shift(
         inner_rtol=inner_rtol,
         cheb_degree=cheb_degree,
         cheb_interval=cheb_interval,
+        grid_dims=grid_dims,
     )
+
+
+def _maybe_build_mg(shifted_csr, device_mat, grid_dims=None):
+    """Build + trial-validate a multigrid hierarchy for ``shifted_csr``.
+    Returns a validated ``MGState`` or None (not grid-structured, or
+    the trial solve did not contract to a direct-solve-grade backward
+    error — e.g. sigma inside the spectrum makes the shifted operator
+    indefinite)."""
+    from spectra_tpu.linalg.multigrid import MGBuildError, build_mg, mg_solve
+    from spectra_tpu.matop.precond import gershgorin_upper
+    from spectra_tpu.util.rng import SimpleRandom
+
+    n = shifted_csr.shape[0]
+    b = jnp.asarray(SimpleRandom(1).random_vec(n, device_mat.dtype))
+    scale0 = gershgorin_upper(device_mat)
+
+    def trial_ok(mg):
+        y, _ = jax.jit(lambda bb: mg_solve(mg, bb, rtol=1e-12, maxiter=60))(b)
+        resid = jnp.linalg.norm(device_mat.matvec(y) - b)
+        scale = scale0 * jnp.linalg.norm(y) + jnp.linalg.norm(b)
+        return bool(resid <= 1e-11 * scale)
+
+    try:
+        mg = build_mg(shifted_csr, dims=grid_dims)
+    except MGBuildError:
+        return None
+    if trial_ok(mg):
+        return mg
+    # The boundary-weight heuristic (Dirichlet clip vs Neumann const)
+    # can misclassify mixed/odd operators — the flipped variant is one
+    # cheap rebuild away, and the trial solve is the arbiter.
+    try:
+        mg2 = build_mg(
+            shifted_csr,
+            dims=grid_dims,
+            boundary="const" if mg.boundary == "clip" else "clip",
+        )
+    except MGBuildError:
+        return None
+    if trial_ok(mg2):
+        return mg2
+    return None
 
 
 def build_shifted_iterative(
@@ -512,12 +572,24 @@ def build_shifted_iterative(
     inner_rtol=None,
     cheb_degree=16,
     cheb_interval=None,
+    grid_dims=None,
 ):
     """On-device iterative ``shifted^{-1}`` operator over a PRE-shifted
     host CSR (``A - sigma I`` or ``A - sigma B``): DIA/ELL format
     routing, tolerance coupling, preconditioning, NaN-poisoning —
     shared by the standard sparse shift-solve wrappers and
-    :class:`spectra_tpu.matop.sym_shift_invert.SymShiftInvert`."""
+    :class:`spectra_tpu.matop.sym_shift_invert.SymShiftInvert`.
+
+    ``method="mg"`` builds a geometric-multigrid hierarchy
+    (linalg/multigrid.py) when the shifted matrix is a regular-grid
+    stencil (``grid_dims`` pins the grid shape; inferred from the
+    sparsity otherwise) and the build-time trial solve contracts to a
+    direct-solve-grade backward error; otherwise it falls back to
+    MINRES with a warning. ``method="minres"`` (the callback-free
+    "auto" resolution for symmetric problems) tries the same multigrid
+    upgrade silently first — on grid stencils it is the difference
+    between O(1) cycles and O(sqrt(kappa)) iterations per inner solve.
+    """
     from spectra_tpu.sparse.formats import (
         dia_from_scipy,
         dia_suitability,
@@ -530,6 +602,22 @@ def build_shifted_iterative(
     # n ~ 1e6 (~100 us vs several ms per SpMV on a v5e).
     to_device = dia_from_scipy if dia_suitability(shifted) else ell_from_scipy
     device_mat = to_device(shifted)
+    mg_state = None
+    if method in ("mg", "minres"):
+        mg_state = _maybe_build_mg(shifted, device_mat, grid_dims)
+        if mg_state is not None:
+            method = "mg"
+        elif method == "mg":
+            import warnings
+
+            warnings.warn(
+                "method='mg' requested but the shifted matrix is not a "
+                "validated grid stencil (not grid-structured, or the "
+                "trial V-cycle did not contract — e.g. indefinite "
+                "shift); falling back to MINRES.",
+                stacklevel=3,
+            )
+            method = "minres"
     if method == "cheb" and cheb_interval is None:
         from spectra_tpu.linalg.cheb_solve import (
             chebyshev_solve_state,
@@ -561,6 +649,7 @@ def build_shifted_iterative(
         cheb_degree=cheb_degree,
         cheb_interval=cheb_interval,
         inner_rtol_user=inner_rtol is not None,
+        mg=mg_state,
     )
 
 
@@ -570,7 +659,9 @@ class SparseSymShiftSolve:
 
     Iterative-path knobs (ignored by the SuperLU path): ``precond``
     ("none"/"jacobi"/"cheb"), ``inner_rtol`` (None = couple to the
-    outer tol), ``cheb_degree``, ``cheb_interval``."""
+    outer tol), ``cheb_degree``, ``cheb_interval``; ``method="mg"`` +
+    optional ``grid_dims`` select the geometric-multigrid inner solve
+    for grid-stencil matrices (linalg/multigrid.py)."""
 
     def __init__(
         self,
@@ -581,6 +672,7 @@ class SparseSymShiftSolve:
         inner_rtol=None,
         cheb_degree: int = 16,
         cheb_interval=None,
+        grid_dims=None,
     ):
         self._csr = symmetrize_scipy(csr, uplo, conjugate=False)
         self._method = method
@@ -589,6 +681,7 @@ class SparseSymShiftSolve:
             inner_rtol=inner_rtol,
             cheb_degree=cheb_degree,
             cheb_interval=cheb_interval,
+            grid_dims=grid_dims,
         )
         # (alpha, beta, sigma) of the last Chebyshev interval learned
         # by set_shift — reused across shifts by exact translation (the

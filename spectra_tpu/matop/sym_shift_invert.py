@@ -85,10 +85,15 @@ class SymShiftInvert:
     ``create(A, B, uplo_A="L", uplo_B="L", method=None)`` — pass
     ``B=None`` for the standard problem (B = I). ``method`` overrides
     the automatic factorizer choice with an iterative on-device solve:
-    ``"minres"`` (alias ``"cg"``), ``"cheb"``, or ``"bicgstab"``.
+    ``"minres"`` (alias ``"cg"``), ``"cheb"``, ``"bicgstab"``, or
+    ``"mg"`` (geometric multigrid for grid-stencil ``A - sigma B``;
+    ``grid_dims`` pins the grid shape when the sparsity alone is
+    ambiguous).
     """
 
-    def __init__(self, A, B=None, uplo_A="L", uplo_B="L", method=None):
+    def __init__(
+        self, A, B=None, uplo_A="L", uplo_B="L", method=None, grid_dims=None
+    ):
         self._a_sparse = _is_scipy_sparse(A)
         self._b_sparse = B is None or _is_scipy_sparse(B)
         if self._a_sparse:
@@ -102,14 +107,17 @@ class SymShiftInvert:
         else:
             self._B = np.asarray(_symmetrize(np.asarray(B), uplo_B))
         self._method = method
+        self._grid_dims = grid_dims
         n = self._A.shape[0]
         if self._B is not None and self._B.shape[0] != n:
             raise ValueError("A and B must have the same size")
         self._n = n
 
     @classmethod
-    def create(cls, A, B=None, uplo_A="L", uplo_B="L", method=None):
-        return cls(A, B, uplo_A, uplo_B, method)
+    def create(
+        cls, A, B=None, uplo_A="L", uplo_B="L", method=None, grid_dims=None
+    ):
+        return cls(A, B, uplo_A, uplo_B, method, grid_dims)
 
     @property
     def dtype(self):
@@ -154,8 +162,12 @@ class SymShiftInvert:
             # symmetric indefinite in general, so it maps to MINRES;
             # "cheb" is the reduction-free semi-iteration for the
             # definite case (e.g. sigma below the (A, B) spectrum).
+            # "mg"/"minres" additionally try the geometric-multigrid
+            # upgrade on grid stencils (build_shifted_iterative).
             return build_shifted_iterative(
-                shifted.tocsr(), "minres" if method == "cg" else method
+                shifted.tocsr(),
+                "minres" if method == "cg" else method,
+                grid_dims=self._grid_dims,
             )
         if _is_scipy_sparse(shifted):
             import scipy.sparse.linalg as spla
