@@ -5,10 +5,12 @@ A = 2-D grid Laplacian (5-point stencil), B = FEM-style mass matrix
 (kron(I, tridiag(1/6, 2/3, 1/6))) — both SPD, both banded (DIA). The
 operator is ``(A - sigma B)^{-1} B`` with the B-inner-product Lanczos
 (reference: SymGEigsShiftSolver.h:147-205 + SymShiftInvert.h); the
-inner solve is the reduction-free Chebyshev semi-iteration (sigma=0
-keeps A - sigma B SPD), one inner solve per device execution
-(matvec granularity). Reference eigenvalues from scipy/ARPACK
-generalized ``eigsh(A, M=B, sigma=0)`` on the host (SuperLU).
+inner solve is geometric multigrid on the (A - sigma B) grid stencil
+(sigma=0 keeps it SPD; linalg/multigrid.py — round 2 used the
+Chebyshev semi-iteration at ~140x the per-solve cost), one inner
+solve per device execution (matvec granularity). Reference
+eigenvalues from scipy/ARPACK generalized ``eigsh(A, M=B, sigma=0)``
+on the host (SuperLU).
 
 Usage: python scripts/tpu_generalized_1m.py [g ...]   (default 300 1000)
 """
@@ -51,7 +53,7 @@ def run(g: int):
     t_ref = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    op = st.SymShiftInvert.create(A, B, method="cheb").set_shift(0.0)
+    op = st.SymShiftInvert.create(A, B, method="mg").set_shift(0.0)
     bop = st.SparseSymMatProd.from_full(B)
     eigs = st.SymGEigsShiftSolver.from_factored(op, bop, 10, 30, 0.0)
     eigs.set_matvec_granularity(True)

@@ -45,6 +45,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from spectra_tpu.ops.gemv import basis_apply, basis_apply_block
 from spectra_tpu.util import dtypes
 from spectra_tpu.util.rng import uniform_m05_05
 
@@ -92,7 +93,7 @@ def init(arnop, v0, m: int, key) -> KrylovState:
         # Remove structural (e.g. J-orbit) rounding components so the
         # next basis vector v1 = f/||f|| is structure-clean.
         jv = arnop.ortho_basis(v[:, None])[:, 1:]
-        f = f - jv @ arnop.adjoint_product(jv, f)
+        f = f - basis_apply(jv, arnop.adjoint_product(jv, f))
 
     # If v is already an eigenvector, f is pure rounding noise: force it
     # to zero so the next factorization step restarts cleanly.
@@ -141,7 +142,7 @@ def _expand_basis(arnop, V, num_cols, key, dtype):
                 rand,
             )
             Vf = arnop.adjoint_product(Vp, f0)
-            f1 = f0 - Vp @ Vf
+            f1 = f0 - basis_apply(Vp, Vf)
             fn = arnop.norm(f1)
             Vf = arnop.adjoint_product(Vp, f1)
             oe = _maxabs(Vf)
@@ -152,7 +153,7 @@ def _expand_basis(arnop, V, num_cols, key, dtype):
 
             def c_body(c):
                 f_c, fn_c, Vf_c, _, cnt = c
-                f_c = f_c - Vp @ Vf_c
+                f_c = f_c - basis_apply(Vp, Vf_c)
                 fn_c = arnop.norm(f_c)
                 Vf_c = arnop.adjoint_product(Vp, f_c)
                 return (f_c, fn_c, Vf_c, _maxabs(Vf_c), cnt + 1)
@@ -220,7 +221,7 @@ def _reorth_loop(arnop, V, f, beta, H, i, mode: str, skip, dtype, n):
 
         def correct(op):
             f_c, beta_c, Vf_c, _, H_c = op
-            f_n = f_c - Vp @ Vf_c
+            f_n = f_c - basis_apply(Vp, Vf_c)
             if mode == "lanczos":
                 hsub = H_c[i - 1, i] + Vf_c[i - 1]
                 H_n = (
@@ -315,7 +316,7 @@ def _step(arnop, state: KrylovState, i, mode: str) -> KrylovState:
         # leading V-coefficients are recurrence entries.
         Vp = arnop.ortho_basis(V)
         h = arnop.adjoint_product(Vp, w)
-        f = w - Vp @ h
+        f = w - basis_apply(Vp, h)
         h = h[:m]
         H = H.at[:, i].set(h).at[i, i - 1].set(h_sub)
         beta = arnop.norm(f)
@@ -373,7 +374,7 @@ def truncate_schur(arnop, state: KrylovState, U, T_new, k_new) -> KrylovState:
     """
     V, _, f, beta, _, nops, key = state
     m = V.shape[1]
-    VU = V @ U.astype(V.dtype)
+    VU = basis_apply_block(V, U.astype(V.dtype))
     col = jnp.arange(m)
     V_new = jnp.where((col < k_new)[None, :], VU, 0.0)
     keep = (col[:, None] < k_new) & (col[None, :] < k_new)
@@ -400,7 +401,7 @@ def compress(arnop, state: KrylovState, Q, H_new, k_new) -> KrylovState:
     """
     V, _, f, _, _, nops, key = state
     n, m = V.shape
-    VQ = V @ Q.astype(V.dtype)
+    VQ = basis_apply_block(V, Q.astype(V.dtype))
 
     sigma = Q[m - 1, k_new - 1].astype(V.dtype)
     f_new = f * sigma + VQ[:, k_new] * H_new[k_new, k_new - 1]

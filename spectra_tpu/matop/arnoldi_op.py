@@ -17,6 +17,8 @@ partial reduction plus one psum over the row-partition axis.
 
 import jax.numpy as jnp
 
+from spectra_tpu.ops.gemv import basis_proj
+
 from spectra_tpu.util.pytree import pytree_dataclass
 
 
@@ -67,7 +69,7 @@ class ArnoldiOp:
 
     def adjoint_product(self, X, y):
         """X^H B y for a block X (the projection GEMV of the hot loop)."""
-        return jnp.conj(X).T @ self.apply_b(y)
+        return basis_proj(X, self.apply_b(y))
 
     def norm(self, x):
         """B-norm sqrt(real(x^H B x))."""

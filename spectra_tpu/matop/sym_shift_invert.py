@@ -153,7 +153,7 @@ class SymShiftInvert:
         method = self._method
         if method is None and _is_scipy_sparse(shifted):
             method = _resolve_sparse_method("auto")
-        if method in ("cg", "minres", "cheb", "bicgstab"):
+        if method in ("cg", "minres", "cheb", "bicgstab", "mg"):
             import scipy.sparse as sps
 
             if not _is_scipy_sparse(shifted):

@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from spectra_tpu.linalg import krylov
+from spectra_tpu.ops.gemv import basis_apply_block
 from spectra_tpu.linalg.tridiag import (
     tridiag_qr,
     tridiag_qtq,
@@ -134,7 +135,7 @@ def _restart_thick_compress(arnop, state, k_new, ncv: int, selection: SortRule):
     Yp = Y[:, keep_idx]
     theta = evals[keep_idx]
 
-    VY = state.V @ Yp.astype(state.V.dtype)
+    VY = basis_apply_block(state.V, Yp.astype(state.V.dtype))
     keep_mask = (col < k_new)[None, :]
     V_new = jnp.where(keep_mask, VY, 0.0)
     # The arrow coupling s = beta * Y[m-1, kept] is not written here:
