@@ -24,7 +24,10 @@ def main():
     # Smallest eigenvalues = eigenvalues closest to sigma = 0 of the
     # shift-inverted operator. The factorization happens once on the
     # host (SuperLU); every solver iteration's vector work runs on the
-    # accelerator.
+    # accelerator. For grid-stencil matrices like this one,
+    # method="mg" builds a geometric-multigrid inner solve instead —
+    # fully on-device, O(1) V-cycles per application — which is how
+    # this same config runs at n = 10^6+ on callback-free TPU runtimes.
     op = st.SparseSymShiftSolve.create(A)
     eigs = st.SymEigsShiftSolver(op, nev=6, ncv=20, sigma=0.0)
     eigs.init()

@@ -60,20 +60,23 @@ def spmv_throughput(op, v0, nnz, k_lo=10, k_hi=210):
     import jax
     import numpy as np
 
+    # op goes through jit as an ARGUMENT: a closed-over operator's
+    # arrays are serialized into the remote compile request, which the
+    # compile service rejects at 100M nnz (HTTP 413).
     @functools.partial(jax.jit, static_argnames=("k",))
-    def loop(x, k):
+    def loop(o, x, k):
         return jax.lax.fori_loop(
-            0, k, lambda i, v: op.perform_op(v) * (1.0 / 12.0), x
+            0, k, lambda i, v: o.perform_op(v) * (1.0 / 12.0), x
         )
 
     for k in (k_lo, k_hi):
-        _ = np.asarray(loop(v0, k=k)[0])
+        _ = np.asarray(loop(op, v0, k=k)[0])
 
     def timed(k, reps=3):
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            _ = np.asarray(loop(v0, k=k)[0])
+            _ = np.asarray(loop(op, v0, k=k)[0])
             best = min(best, time.perf_counter() - t0)
         return best
 
@@ -118,9 +121,24 @@ def run(g: int, k: int = 20, ncv: int = 40):
         "nops": eigs.num_operations(),
     }
     if len(vals):
-        lam = analytic_smallest(g, len(vals))
-        out["eval_abs_err"] = float(np.abs(vals - lam).max())
-        out["eval_rel_err"] = float((np.abs(vals - lam) / lam).max())
+        # The 3-D Laplacian spectrum is highly degenerate (permutation
+        # multiplicities); restarted Lanczos — ours, ARPACK's and
+        # Spectra's alike — may resolve fewer copies of a multiple
+        # eigenvalue than exist and continue up the spectrum. Report
+        # (a) the error of each computed value against the NEAREST
+        # analytic eigenvalue (are they true eigenvalues?), and (b) how
+        # long a prefix of the multiplicity-counted smallest list was
+        # captured exactly.
+        lam = analytic_smallest(g, len(vals) + 8)
+        nearest = np.abs(vals[:, None] - lam[None, :]).min(axis=1)
+        out["eval_err_nearest_analytic"] = float(nearest.max())
+        prefix = 0
+        for i, v in enumerate(vals):
+            if abs(v - lam[i]) < 1e-8:
+                prefix = i + 1
+            else:
+                break
+        out["smallest_prefix_captured"] = prefix
     print(json.dumps(out), flush=True)
     return out
 

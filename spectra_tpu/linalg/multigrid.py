@@ -314,6 +314,120 @@ def _lam_max_jacobi(csr, diag, iters: int = 20, seed: int = 7) -> float:
     return 1.1 * lam
 
 
+def resolve_grid(shifted_csr, dims=None, max_diags: int = 40):
+    """Pin down (dims, boundary) for a grid-stencil matrix: ``dims``
+    inferred from the sparsity when not given, the transfer boundary
+    mode from the row sums. Raises :class:`MGBuildError` when the
+    matrix is not (recognizably) a grid stencil."""
+    A = shifted_csr.tocsr()
+    n = A.shape[0]
+    if dims is None:
+        coo = A.tocoo()
+        offsets = np.unique(coo.col - coo.row)
+        if len(offsets) > max_diags:
+            raise MGBuildError(
+                f"{len(offsets)} distinct diagonals — not a grid stencil"
+            )
+        dims = infer_grid_dims(offsets, n)
+        if dims is None:
+            raise MGBuildError("no grid shape matches the sparsity")
+    dims = tuple(int(g) for g in dims)
+    if int(np.prod(dims)) != n:
+        raise MGBuildError(f"grid {dims} does not match n={n}")
+    # Dirichlet-type operators have O(diag)-sized boundary row sums
+    # (the eliminated exterior neighbors); Neumann/graph Laplacians
+    # have (near-)zero row sums everywhere, and their near-null
+    # constant mode needs the constant-preserving P.
+    rowsum = np.abs(A @ np.ones(n))
+    dmax = np.abs(A.diagonal()).max()
+    boundary = "const" if rowsum.max() <= 0.1 * dmax else "clip"
+    return A, dims, boundary
+
+
+def build_level_chain(
+    A,
+    dims,
+    boundary: str,
+    max_coarse_n: int = 1024,
+    min_dim: int = 3,
+    max_diags: int = 40,
+):
+    """Galerkin-coarsen ``A`` down to ``max_coarse_n``: returns
+    ``(levels, coarse_inv, dims_per_level)`` where each level is a host
+    dict ``{csr, inv_diag, lam, dims}`` and ``coarse_inv`` is the dense
+    inverse of the coarsest operator. Shared by the single-device and
+    sharded hierarchy builders."""
+    levels = []
+    dims_per_level = []
+    level_csr, level_dims = A, dims
+    # Coarsen at least once whenever the grid allows it: a 1-level
+    # V-cycle on a small grid is still a better inner solve than a
+    # Krylov iteration, and the trial validation gates quality.
+    while min(level_dims) >= 2 * min_dim and (
+        not levels or int(np.prod(level_dims)) > max_coarse_n
+    ):
+        coo = level_csr.tocoo()
+        if len(np.unique(coo.col - coo.row)) > max_diags:
+            raise MGBuildError("coarse operator stopped being banded")
+        diag = level_csr.diagonal()
+        if np.any(diag == 0) or not np.all(np.isfinite(diag)):
+            raise MGBuildError("zero/nonfinite diagonal — Jacobi smoother n/a")
+        levels.append(
+            {
+                "csr": level_csr,
+                "inv_diag": 1.0 / diag,
+                "lam": _lam_max_jacobi(level_csr, diag),
+                "dims": level_dims,
+            }
+        )
+        dims_per_level.append(level_dims)
+        P = prolong_matrix(level_dims, boundary)
+        level_csr = (P.T @ level_csr @ P).tocsr()
+        level_csr.sum_duplicates()
+        # Drop numerically-zero fill so the coarse DIA stays tight.
+        level_csr.data[np.abs(level_csr.data) < 1e-300] = 0.0
+        level_csr.eliminate_zeros()
+        level_dims = coarse_dims(level_dims)
+
+    if not levels:
+        raise MGBuildError(f"grid {dims} too small for a hierarchy")
+    dims_per_level.append(level_dims)
+    dense = np.asarray(level_csr.todense(), dtype=np.float64)
+    # Guard: a (nearly) singular coarsest operator means sigma sits on
+    # a coarse eigenvalue — the stationary cycle would amplify, not
+    # contract. cond() on a <= max_coarse_n matrix is cheap.
+    if not np.all(np.isfinite(dense)):
+        raise MGBuildError("nonfinite coarse operator")
+    cond = np.linalg.cond(dense)
+    if not np.isfinite(cond) or cond > 1e13:
+        raise MGBuildError(f"coarsest level ill-conditioned (cond={cond:.2e})")
+    coarse_inv = np.linalg.inv(dense)
+    return levels, coarse_inv, dims_per_level
+
+
+def mg_state_from_chain(
+    levels, coarse_inv, dims_per_level, boundary, nu1=2, nu2=2, dtype=None
+):
+    """Assemble a single-device :class:`MGState` from a host chain."""
+    from spectra_tpu.sparse.formats import dia_from_scipy
+
+    cast = (lambda a: a) if dtype is None else (lambda a: a.astype(dtype))
+    return MGState(
+        ops=tuple(dia_from_scipy(lv["csr"], dtype=dtype) for lv in levels),
+        inv_diags=tuple(jnp.asarray(cast(lv["inv_diag"])) for lv in levels),
+        lam_max=tuple(jnp.asarray(lv["lam"]) for lv in levels),
+        coarse_inv=jnp.asarray(
+            cast(coarse_inv)
+            if dtype is not None
+            else coarse_inv.astype(levels[0]["csr"].dtype)
+        ),
+        dims_per_level=tuple(dims_per_level),
+        nu1=int(nu1),
+        nu2=int(nu2),
+        boundary=boundary,
+    )
+
+
 def build_mg(
     shifted_csr,
     dims=None,
@@ -332,90 +446,14 @@ def build_mg(
     coarse operator stops being banded, or when the coarsest matrix is
     numerically singular — callers fall back to the Krylov/Chebyshev
     inner solves."""
-    import scipy.sparse as sps
-
-    from spectra_tpu.sparse.formats import dia_from_scipy
-
-    A = shifted_csr.tocsr()
-    n = A.shape[0]
-    if dims is None:
-        coo = A.tocoo()
-        offsets = np.unique(coo.col - coo.row)
-        if len(offsets) > max_diags:
-            raise MGBuildError(
-                f"{len(offsets)} distinct diagonals — not a grid stencil"
-            )
-        dims = infer_grid_dims(offsets, n)
-        if dims is None:
-            raise MGBuildError("no grid shape matches the sparsity")
-    dims = tuple(int(g) for g in dims)
-    if int(np.prod(dims)) != n:
-        raise MGBuildError(f"grid {dims} does not match n={n}")
+    A, dims, auto_boundary = resolve_grid(shifted_csr, dims, max_diags)
     if boundary == "auto":
-        # Dirichlet-type operators have O(diag)-sized boundary row
-        # sums (the eliminated exterior neighbors); Neumann/graph
-        # Laplacians have (near-)zero row sums everywhere, and their
-        # near-null constant mode needs the constant-preserving P.
-        rowsum = np.abs(A @ np.ones(n))
-        dmax = np.abs(A.diagonal()).max()
-        boundary = "const" if rowsum.max() <= 0.1 * dmax else "clip"
-
-    ops, inv_diags, lam_max, dims_per_level = [], [], [], []
-    level_csr, level_dims = A, dims
-    # Coarsen at least once whenever the grid allows it: a 1-level
-    # V-cycle on a small grid is still a better inner solve than a
-    # Krylov iteration, and the trial validation gates quality.
-    while min(level_dims) >= 2 * min_dim and (
-        not ops or int(np.prod(level_dims)) > max_coarse_n
-    ):
-        coo = level_csr.tocoo()
-        if len(np.unique(coo.col - coo.row)) > max_diags:
-            raise MGBuildError("coarse operator stopped being banded")
-        diag = level_csr.diagonal()
-        if np.any(diag == 0) or not np.all(np.isfinite(diag)):
-            raise MGBuildError("zero/nonfinite diagonal — Jacobi smoother n/a")
-        ops.append(dia_from_scipy(level_csr, dtype=dtype))
-        inv_diags.append(
-            jnp.asarray(1.0 / diag if dtype is None else (1.0 / diag).astype(dtype))
-        )
-        lam_max.append(jnp.asarray(_lam_max_jacobi(level_csr, diag)))
-        dims_per_level.append(level_dims)
-        P = prolong_matrix(level_dims, boundary)
-        level_csr = (P.T @ level_csr @ P).tocsr()
-        level_csr.sum_duplicates()
-        # Drop numerically-zero fill so the coarse DIA stays tight.
-        level_csr.data[np.abs(level_csr.data) < 1e-300] = 0.0
-        level_csr.eliminate_zeros()
-        level_dims = coarse_dims(level_dims)
-
-    dims_per_level.append(level_dims)
-    dense = np.asarray(level_csr.todense(), dtype=np.float64)
-    # Guard: a (nearly) singular coarsest operator means sigma sits on
-    # a coarse eigenvalue — the stationary cycle would amplify, not
-    # contract. cond() on a <= max_coarse_n matrix is cheap.
-    if not np.all(np.isfinite(dense)):
-        raise MGBuildError("nonfinite coarse operator")
-    cond = np.linalg.cond(dense)
-    if not np.isfinite(cond) or cond > 1e13:
-        raise MGBuildError(f"coarsest level ill-conditioned (cond={cond:.2e})")
-    coarse_inv = np.linalg.inv(dense)
-    if dtype is not None:
-        coarse_inv = coarse_inv.astype(dtype)
-    elif ops:
-        coarse_inv = coarse_inv.astype(np.asarray(ops[0].data).dtype)
-
-    if not ops:
-        raise MGBuildError(f"grid {dims} too small for a hierarchy")
-
-    return MGState(
-        ops=tuple(ops),
-        inv_diags=tuple(inv_diags),
-        lam_max=tuple(lam_max),
-        coarse_inv=jnp.asarray(coarse_inv),
-        dims_per_level=tuple(dims_per_level),
-        nu1=int(nu1),
-        nu2=int(nu2),
-        boundary=boundary,
+        boundary = auto_boundary
+    levels, coarse_inv, dims_per_level = build_level_chain(
+        A, dims, boundary, max_coarse_n, min_dim, max_diags
+    )
+    return mg_state_from_chain(
+        levels, coarse_inv, dims_per_level, boundary, nu1, nu2, dtype
     )
 
 

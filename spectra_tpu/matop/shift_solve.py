@@ -398,10 +398,18 @@ class SparseShiftSolveBase:
                 # Krylov iterations — see linalg/multigrid.py. Built and
                 # trial-validated at set_shift; a hierarchy that stops
                 # contracting at run time stalls out and is NaN-poisoned
-                # below.
-                from spectra_tpu.linalg.multigrid import mg_solve
+                # below. A mesh-sharded hierarchy (parallel/mg_sharded)
+                # dispatches to the distributed V-cycle.
+                if hasattr(self.mg, "s_ops"):
+                    from spectra_tpu.parallel.mg_sharded import (
+                        mg_solve_sharded,
+                    )
 
-                y, _ = mg_solve(self.mg, b, rtol=rtol, maxiter=100)
+                    y, _ = mg_solve_sharded(self.mg, b, rtol=rtol, maxiter=100)
+                else:
+                    from spectra_tpu.linalg.multigrid import mg_solve
+
+                    y, _ = mg_solve(self.mg, b, rtol=rtol, maxiter=100)
             elif self.method == "cheb":
                 # Reduction-free Chebyshev semi-iteration (SPD shifted
                 # systems only; interval estimated at build time). ~25x
@@ -536,8 +544,16 @@ def _maybe_build_mg(shifted_csr, device_mat, grid_dims=None):
     b = jnp.asarray(SimpleRandom(1).random_vec(n, device_mat.dtype))
     scale0 = gershgorin_upper(device_mat)
 
+    # The hierarchy goes through jit as an ARGUMENT, never a closure:
+    # closed-over device arrays are serialized into the compile request,
+    # which remote-compile services reject outright at 100M-nnz scale
+    # (observed: HTTP 413 at n = 14.3M, ~1.2 GB of level data).
+    trial = jax.jit(
+        lambda m, bb: mg_solve(m, bb, rtol=1e-12, maxiter=60)[0]
+    )
+
     def trial_ok(mg):
-        y, _ = jax.jit(lambda bb: mg_solve(mg, bb, rtol=1e-12, maxiter=60))(b)
+        y = trial(mg, b)
         resid = jnp.linalg.norm(device_mat.matvec(y) - b)
         scale = scale0 * jnp.linalg.norm(y) + jnp.linalg.norm(b)
         return bool(resid <= 1e-11 * scale)
@@ -632,11 +648,14 @@ def build_shifted_iterative(
         # would re-pay the stall-detect discovery phase (~45% of a cold
         # solve at n=1e6).
         _, _, alpha_learned = jax.jit(
-            lambda b: chebyshev_solve_state(
-                device_mat.matvec, b, alpha0, beta0, rtol=1e-10,
+            lambda dm, b: chebyshev_solve_state(
+                dm.matvec, b, alpha0, beta0, rtol=1e-10,
                 maxiter=min(20 * n, 40000),
             )
-        )(jnp.asarray(SimpleRandom(1).random_vec(n, device_mat.dtype)))
+        )(
+            device_mat,
+            jnp.asarray(SimpleRandom(1).random_vec(n, device_mat.dtype)),
+        )
         cheb_interval = (float(alpha_learned), beta0)
     return SparseShiftSolveBase(
         shifted=device_mat,

@@ -178,16 +178,23 @@ def sharded_stencil_shift_solve(
     precond: str = "none",
     cheb_degree: int = 16,
     cheb_interval=None,
+    method: str = "auto",
+    grid_dims=None,
 ):
-    """Distributed shift-invert operator: ``(A - sigma I)^{-1} x`` where
-    the inner MINRES runs over the halo-exchange stencil SpMV, so every
-    vector of the inner Krylov iteration stays row-sharded and each
-    inner step moves only O(halo) bytes (dots psum-reduce under GSPMD).
+    """Distributed shift-invert operator: ``(A - sigma I)^{-1} x``
+    with every vector of the inner iteration row-sharded.
+
+    ``method="auto"`` (and ``"mg"``) first tries the SHARDED geometric
+    multigrid (parallel/mg_sharded.py: O(1) V-cycles per solve, halo +
+    one-plane transfer traffic per level, replicated tail), validated
+    by a trial solve; it falls back to MINRES over the halo-exchange
+    stencil SpMV (O(sqrt(kappa)) iterations, O(halo) bytes per step).
+    ``method="minres"`` pins the Krylov path.
 
     This is the at-scale answer to the reference's serial SparseLU
     shift-solve (SparseSymShiftSolve.h:51): a sparse direct
-    factorization does not distribute, an inner Krylov solve does
-    (reference precedent for iterative inverse ops:
+    factorization does not distribute; multigrid and inner Krylov
+    solves do (reference precedent for iterative inverse ops:
     SparseRegularInverse.h:105-116). Use from
     ``SymEigsShiftSolver.from_factored(op, ...)`` with a sharded v0.
     """
@@ -200,15 +207,59 @@ def sharded_stencil_shift_solve(
     n = csr.shape[0]
     shifted = (csr - sigma * sps.eye(n, dtype=csr.dtype, format="csr")).tocsr()
     op = ShardedStencilMatProd.create(dia_from_scipy(shifted), mesh, axis)
+
+    mg_state = None
+    if method in ("auto", "mg"):
+        mg_state = _maybe_build_mg_sharded(shifted, op, mesh, axis, grid_dims)
+        if mg_state is None and method == "mg":
+            import warnings
+
+            warnings.warn(
+                "method='mg' requested but no validated sharded multigrid "
+                "hierarchy could be built; falling back to MINRES.",
+                stacklevel=2,
+            )
     return SparseShiftSolveBase(
         shifted=op,
         solver=None,
         n=n,
-        method="minres",
+        method="mg" if mg_state is not None else "minres",
         out_real=False,
         inner_rtol=inner_rtol,
         precond=precond,
         cheb_degree=cheb_degree,
         cheb_interval=cheb_interval,
         inner_rtol_user=inner_rtol is not None,
+        mg=mg_state,
     )
+
+
+def _maybe_build_mg_sharded(shifted, op, mesh, axis, grid_dims):
+    """Sharded analogue of shift_solve._maybe_build_mg: build + one
+    trial solve with a backward-error gate; None on any failure."""
+    from spectra_tpu.distributed import global_put
+    from spectra_tpu.linalg.multigrid import MGBuildError
+    from spectra_tpu.matop.precond import gershgorin_upper
+    from spectra_tpu.parallel.mg_sharded import (
+        build_mg_sharded,
+        mg_solve_sharded,
+    )
+    from spectra_tpu.util.rng import SimpleRandom
+
+    try:
+        smg = build_mg_sharded(shifted, mesh, axis, dims=grid_dims)
+    except MGBuildError:
+        return None
+    n = shifted.shape[0]
+    b = global_put(
+        SimpleRandom(1).random_vec(n, op.dtype),
+        NamedSharding(mesh, P(axis)),
+    )
+    y = jax.jit(
+        lambda m, bb: mg_solve_sharded(m, bb, rtol=1e-12, maxiter=60)[0]
+    )(smg, b)
+    resid = jnp.linalg.norm(op.matvec(y) - b)
+    scale = gershgorin_upper(op) * jnp.linalg.norm(y) + jnp.linalg.norm(b)
+    if not bool(resid <= 1e-11 * scale):
+        return None
+    return smg
