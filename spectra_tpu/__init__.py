@@ -105,6 +105,11 @@ def __getattr__(name):
         # contrib
         "PartialSVDSolver": "spectra_tpu.contrib.partial_svd",
         "LOBPCGSolver": "spectra_tpu.contrib.lobpcg",
+        # scipy.sparse.linalg-compatible frontend
+        "eigsh": "spectra_tpu.api",
+        "eigs": "spectra_tpu.api",
+        "svds": "spectra_tpu.api",
+        "NoConvergence": "spectra_tpu.api",
     }
     if name in _lazy:
         import importlib
