@@ -356,10 +356,11 @@ def main():
                 "ours": rec,
                 "inner_solver": "on-device geometric multigrid "
                 "(Galerkin hierarchy, Chebyshev-Jacobi smoothing, "
-                "~11 V-cycles / 52 ms per solve; trial-validated with "
-                "MINRES fallback), inner rtol coupled to outer tol; "
-                "one inner solve per device execution (matvec "
-                "granularity)",
+                "~11 V-cycles / ~0.1 s per stepped application; "
+                "trial-validated with MINRES fallback), inner rtol "
+                "coupled to outer tol; split-program stepped execution "
+                "(one op-containing program per process, one inner "
+                "solve per device execution)",
             }
         except Exception as err:
             _keep_stale("shift_invert_1M_k10", err)

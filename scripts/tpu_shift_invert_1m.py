@@ -29,10 +29,14 @@ def run(g: int):
 
     t0 = time.perf_counter()
     # Geometric-multigrid inner solve (linalg/multigrid.py): ~11
-    # V(2,2) cycles / 52 ms per solve at n=1e6 on the v5e — 142x the
-    # round-2 Chebyshev semi-iteration (~7.4 s/solve, O(sqrt(kappa))
-    # iterations), which remains the validated fallback when the
-    # matrix is not a grid stencil.
+    # V(2,2) cycles / ~0.1 s per stepped operator application at n=1e6
+    # on the v5e (launch + solve + step algebra) — vs ~7.4 s/solve for
+    # the round-2 Chebyshev semi-iteration (O(sqrt(kappa)) iterations),
+    # which remains the validated fallback when the matrix is not a
+    # grid stencil. With the split-program stepped path (ONE
+    # op-containing program per process, shared by the set_shift trial)
+    # the measured warm end-to-end wall is ~55 s; cold adds one
+    # ~1-minute emulated-f64 compile.
     op = st.SparseSymShiftSolve.create(A, method="mg").set_shift(0.0)
     eigs = st.SymEigsShiftSolver.from_factored(op, 10, 30, 0.0)
     # One inner solve per device execution: bounds each execution well

@@ -250,6 +250,43 @@ def _reorth_loop(arnop, V, f, beta, H, i, mode: str, skip, dtype, n):
     return f, beta, H
 
 
+def _post_op(arnop, V, H, v, w, h_sub, i, mode: str):
+    """Everything after ``w = A v``: recurrence coefficients, residual,
+    re-orthogonalization. Shared verbatim by the fused ``_step`` and
+    the split-program stepped path (:mod:`solvers._herm_core`
+    ``stepped_*_split``) so the two execute identical arithmetic."""
+    n, m = V.shape
+    dtype = V.dtype
+    rdtype = dtypes.real_dtype(dtype)
+
+    if mode == "lanczos":
+        # Three-term recurrence (Cullum & Willoughby ordering).
+        w = w - h_sub * V[:, i - 1]
+        alpha = arnop.inner_product(v, w)
+        f = w - alpha * v
+        H = (
+            H.at[i, i - 1].set(h_sub)
+            .at[i - 1, i].set(h_sub)
+            .at[i, i].set(alpha)
+        )
+        beta = arnop.norm(f)
+        skip = jnp.asarray(False)
+    else:
+        # Full Gram-Schmidt: h = V^H B w over all i+1 current columns
+        # (tail columns are zero so the full-width GEMV is exact).
+        # Structured ops project against the widened basis; only the
+        # leading V-coefficients are recurrence entries.
+        Vp = arnop.ortho_basis(V)
+        h = arnop.adjoint_product(Vp, w)
+        f = w - basis_apply(Vp, h)
+        h = h[:m]
+        H = H.at[:, i].set(h).at[i, i - 1].set(h_sub)
+        beta = arnop.norm(f)
+        skip = beta > jnp.asarray(0.717, rdtype) * jnp.linalg.norm(h)
+
+    return _reorth_loop(arnop, V, f, beta, H, i, mode, skip, dtype, n)
+
+
 def _step(arnop, state: KrylovState, i, mode: str) -> KrylovState:
     """One factorization step: extend from i columns to i+1."""
     V, H, f, beta, _, nops, key = state
@@ -297,32 +334,7 @@ def _step(arnop, state: KrylovState, i, mode: str) -> KrylovState:
     w = arnop.perform_op(v)
     nops = nops + 1
 
-    if mode == "lanczos":
-        # Three-term recurrence (Cullum & Willoughby ordering).
-        w = w - h_sub * V[:, i - 1]
-        alpha = arnop.inner_product(v, w)
-        f = w - alpha * v
-        H = (
-            H.at[i, i - 1].set(h_sub)
-            .at[i - 1, i].set(h_sub)
-            .at[i, i].set(alpha)
-        )
-        beta = arnop.norm(f)
-        skip = jnp.asarray(False)
-    else:
-        # Full Gram-Schmidt: h = V^H B w over all i+1 current columns
-        # (tail columns are zero so the full-width GEMV is exact).
-        # Structured ops project against the widened basis; only the
-        # leading V-coefficients are recurrence entries.
-        Vp = arnop.ortho_basis(V)
-        h = arnop.adjoint_product(Vp, w)
-        f = w - basis_apply(Vp, h)
-        h = h[:m]
-        H = H.at[:, i].set(h).at[i, i - 1].set(h_sub)
-        beta = arnop.norm(f)
-        skip = beta > jnp.asarray(0.717, rdtype) * jnp.linalg.norm(h)
-
-    f, beta, H = _reorth_loop(arnop, V, f, beta, H, i, mode, skip, dtype, n)
+    f, beta, H = _post_op(arnop, V, H, v, w, h_sub, i, mode)
 
     return KrylovState(
         V=V, H=H, f=f, beta=beta, k=jnp.asarray(i + 1, jnp.int32), nops=nops, key=key
@@ -419,5 +431,144 @@ def compress(arnop, state: KrylovState, Q, H_new, k_new) -> KrylovState:
         beta=beta_new,
         k=jnp.asarray(k_new, jnp.int32),
         nops=nops,
+        key=key,
+    )
+
+
+# -- split-program stepped pieces --------------------------------------
+#
+# The matvec-granularity driver (HermEigsBase.set_matvec_granularity)
+# originally replayed `_step` as ONE program per step — but when
+# perform_op is itself a large compiled inner solve (multigrid/Chebyshev
+# at n ~ 1e6), every op-containing program pays minutes of emulated-f64
+# compilation and tens of seconds of per-process executable load. These
+# pieces split the step so the operator appears in exactly ONE tiny
+# program (`solvers._herm_core.stepped_apply`); everything else is
+# op-free algebra. Breakdown decisions move to the host, which already
+# holds ||f|| (the stepped driver syncs it every step). Arithmetic is
+# shared with `_step` via `_post_op`, so fused and split paths compute
+# identical sequences.
+
+
+def split_near_test(arnop, state: KrylovState, i):
+    """|<V_{i-1}, f/||f||>| — the Lanczos near-breakdown probe
+    (op-free; reference: Lanczos.h:99-114)."""
+    V, _, f, beta, *_ = state
+    near_0 = jnp.asarray(dtypes.near_zero(V.dtype), dtypes.real_dtype(V.dtype))
+    v_cand = f / jnp.maximum(beta, near_0)
+    return jnp.abs(arnop.inner_product(V[:, i - 1], v_cand))
+
+
+def split_expand_rand(key, i, it, like):
+    """The deterministic random restart vector of expansion try ``it``
+    at step ``i`` — bit-identical to `_expand_basis`'s stream."""
+    sub = jax.random.fold_in(jax.random.fold_in(key, i), it)
+    return uniform_m05_05(sub, like.shape, like.dtype)
+
+
+def split_expand_correct(arnop, V, f0):
+    """DGKS-correct an expansion candidate against V (op-free): the
+    inner <=3-correction loop of `_expand_basis`'s attempt. Returns
+    ``(f, fnorm, ok)``."""
+    dtype = V.dtype
+    rdtype = dtypes.real_dtype(dtype)
+    eps = jnp.asarray(dtypes.eps(dtype), rdtype)
+    Vp = arnop.ortho_basis(V)
+
+    Vf = arnop.adjoint_product(Vp, f0)
+    f1 = f0 - basis_apply(Vp, Vf)
+    fn = arnop.norm(f1)
+    Vf = arnop.adjoint_product(Vp, f1)
+    oe = _maxabs(Vf)
+
+    def c_cond(c):
+        _, fn_c, _, oe_c, cnt = c
+        return (cnt < 3) & (oe_c >= eps * fn_c)
+
+    def c_body(c):
+        f_c, fn_c, Vf_c, _, cnt = c
+        f_c = f_c - basis_apply(Vp, Vf_c)
+        fn_c = arnop.norm(f_c)
+        Vf_c = arnop.adjoint_product(Vp, f_c)
+        return (f_c, fn_c, Vf_c, _maxabs(Vf_c), cnt + 1)
+
+    f2, fn2, _, oe2, _ = jax.lax.while_loop(
+        c_cond, c_body, (f1, fn, Vf, oe, jnp.asarray(0, jnp.int32))
+    )
+    return f2, fn2, oe2 < eps * fn2
+
+
+def split_set_column(state: KrylovState, i):
+    """``v = f/||f||`` written into column i (op-free). Returns
+    ``(state, v)``; the caller applies the operator to v."""
+    V = state.V
+    near_0 = jnp.asarray(dtypes.near_zero(V.dtype), dtypes.real_dtype(V.dtype))
+    v = state.f / jnp.maximum(state.beta, near_0)
+    return state._replace(V=V.at[:, i].set(v)), v
+
+
+def split_step_finish(
+    arnop, state: KrylovState, w, i, restarted, nops_inc, mode: str
+) -> KrylovState:
+    """Post-operator half of the step (op-free): recurrence, residual,
+    re-orthogonalization — shared arithmetic with `_step` via
+    `_post_op`. ``restarted`` zeroes the subdiagonal coupling after a
+    breakdown expansion; ``nops_inc`` carries the host-counted operator
+    applications of this step."""
+    V, H, _, beta, _, nops, key = state
+    rdtype = dtypes.real_dtype(V.dtype)
+    h_sub = jnp.where(restarted, jnp.asarray(0.0, rdtype), beta).astype(V.dtype)
+    v = V[:, i]
+    f, beta, H = _post_op(arnop, V, H, v, w, h_sub, i, mode)
+    return KrylovState(
+        V=V,
+        H=H,
+        f=f,
+        beta=beta,
+        k=jnp.asarray(i + 1, jnp.int32),
+        nops=nops + nops_inc,
+        key=key,
+    )
+
+
+def split_init_normalize(arnop, v0, vraw):
+    """``v = (A v0)/||A v0||`` with the null-space fallback of `init`
+    (op-free; ``vraw = A v0`` supplied by the caller)."""
+    rdtype = dtypes.real_dtype(v0.dtype)
+    near_0 = jnp.asarray(dtypes.near_zero(v0.dtype), rdtype)
+    v0norm = arnop.norm(v0)
+    vnorm = arnop.norm(vraw)
+    return jnp.where(
+        vnorm < near_0, v0 / v0norm, vraw / jnp.maximum(vnorm, near_0)
+    )
+
+
+def split_init_finish(arnop, v, w, key, m: int) -> KrylovState:
+    """Tail of `init` given ``w = A v`` (op-free): h00, residual,
+    structure cleanup, force-zero edge case, state assembly."""
+    n = v.shape[0]
+    dtype = v.dtype
+    rdtype = dtypes.real_dtype(dtype)
+    eps = jnp.asarray(dtypes.eps(dtype), rdtype)
+
+    h00 = arnop.inner_product(v, w)
+    f = w - h00 * v
+    if arnop.has_structure:
+        jv = arnop.ortho_basis(v[:, None])[:, 1:]
+        f = f - basis_apply(jv, arnop.adjoint_product(jv, f))
+
+    force_zero = _maxabs(f) < eps * jnp.abs(h00)
+    f = jnp.where(force_zero, jnp.zeros_like(f), f)
+    beta = jnp.where(force_zero, jnp.asarray(0.0, rdtype), arnop.norm(f))
+
+    V = jnp.zeros((n, m), dtype).at[:, 0].set(v)
+    H = jnp.zeros((m, m), dtype).at[0, 0].set(h00)
+    return KrylovState(
+        V=V,
+        H=H,
+        f=f,
+        beta=beta,
+        k=jnp.asarray(1, jnp.int32),
+        nops=jnp.asarray(2, jnp.int64),
         key=key,
     )

@@ -530,33 +530,55 @@ def _build_sparse_shift(
     )
 
 
-def _maybe_build_mg(shifted_csr, device_mat, grid_dims=None):
+def _maybe_build_mg(shifted_csr, device_mat, grid_dims=None, op_fields=None):
     """Build + trial-validate a multigrid hierarchy for ``shifted_csr``.
     Returns a validated ``MGState`` or None (not grid-structured, or
     the trial solve did not contract to a direct-solve-grade backward
     error — e.g. sigma inside the spectrum makes the shifted operator
-    indefinite)."""
-    from spectra_tpu.linalg.multigrid import MGBuildError, build_mg, mg_solve
-    from spectra_tpu.matop.precond import gershgorin_upper
+    indefinite).
+
+    The trial runs through the SAME compiled program the stepped
+    solver will execute (``solvers._herm_core.stepped_apply`` on a
+    candidate operator with the default-coupled inner tolerance): at
+    n ~ 1e6 an op-containing program costs minutes of emulated-f64
+    compilation and tens of seconds of per-process executable load, so
+    a dedicated trial program would double the fixed cost of every
+    process. The backward-error check itself runs on the host CSR —
+    zero extra device programs."""
+    import numpy as np
+
+    from spectra_tpu.linalg.multigrid import MGBuildError, build_mg
+    from spectra_tpu.matop.arnoldi_op import ArnoldiOp
+    from spectra_tpu.solvers._herm_core import stepped_apply
     from spectra_tpu.util.rng import SimpleRandom
 
     n = shifted_csr.shape[0]
-    b = jnp.asarray(SimpleRandom(1).random_vec(n, device_mat.dtype))
-    scale0 = gershgorin_upper(device_mat)
-
-    # The hierarchy goes through jit as an ARGUMENT, never a closure:
-    # closed-over device arrays are serialized into the compile request,
-    # which remote-compile services reject outright at 100M-nnz scale
-    # (observed: HTTP 413 at n = 14.3M, ~1.2 GB of level data).
-    trial = jax.jit(
-        lambda m, bb: mg_solve(m, bb, rtol=1e-12, maxiter=60)[0]
-    )
+    b_host = SimpleRandom(1).random_vec(n, device_mat.dtype)
+    b = jnp.asarray(b_host)
+    # Gershgorin bound on the host matrix (abs row sums).
+    scale0 = float(np.abs(shifted_csr).sum(axis=1).max())
+    bnorm = float(np.linalg.norm(b_host))
+    fields = dict(op_fields or {})
+    fields.setdefault("out_real", False)
+    fields["inner_rtol"] = coupled_inner_rtol(1e-10, device_mat.dtype)
+    fields["inner_rtol_user"] = False
 
     def trial_ok(mg):
-        y = trial(mg, b)
-        resid = jnp.linalg.norm(device_mat.matvec(y) - b)
-        scale = scale0 * jnp.linalg.norm(y) + jnp.linalg.norm(b)
-        return bool(resid <= 1e-11 * scale)
+        cand = SparseShiftSolveBase(
+            shifted=device_mat, solver=None, n=n, method="mg", mg=mg,
+            **fields,
+        )
+        # The hierarchy reaches jit as an ARGUMENT inside the operator
+        # pytree, never a closure: closed-over device arrays are
+        # serialized into the compile request, which remote-compile
+        # services reject outright at 100M-nnz scale (observed:
+        # HTTP 413 at n = 14.3M, ~1.2 GB of level data).
+        y = np.asarray(stepped_apply(ArnoldiOp.create(cand), b))
+        if not np.all(np.isfinite(y)):
+            return False
+        resid = float(np.linalg.norm(shifted_csr @ y - b_host))
+        scale = scale0 * float(np.linalg.norm(y)) + bnorm
+        return resid <= 1e-11 * scale
 
     try:
         mg = build_mg(shifted_csr, dims=grid_dims)
@@ -620,7 +642,17 @@ def build_shifted_iterative(
     device_mat = to_device(shifted)
     mg_state = None
     if method in ("mg", "minres"):
-        mg_state = _maybe_build_mg(shifted, device_mat, grid_dims)
+        mg_state = _maybe_build_mg(
+            shifted,
+            device_mat,
+            grid_dims,
+            op_fields=dict(
+                out_real=out_real,
+                precond=precond,
+                cheb_degree=cheb_degree,
+                cheb_interval=cheb_interval,
+            ),
+        )
         if mg_state is not None:
             method = "mg"
         elif method == "mg":

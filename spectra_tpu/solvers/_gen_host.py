@@ -43,15 +43,21 @@ def host_factorize(arnop, state, from_k: int, ncv: int,
     """Re-expand the factorization from ``from_k`` to ``ncv`` columns.
 
     Default: one jitted ``factorize_from`` (one device execution for
-    the whole sweep). ``matvec_granularity``: one ``step_once``
-    execution per column with a true host sync per step — the
-    watchdog contract of ``set_matvec_granularity`` (shared by the
-    host-driven IRAM and the Krylov-Schur driver)."""
+    the whole sweep). ``matvec_granularity``: one operator application
+    per execution with a true host sync per step — the watchdog
+    contract of ``set_matvec_granularity`` (shared by the host-driven
+    IRAM and the Krylov-Schur driver). The stepped path uses the
+    split-program step (one op-containing program total, see
+    ``_herm_core.stepped_step_split``) so expensive inner-solve
+    operators compile/load exactly one large program per process."""
     if not matvec_granularity:
         return _fact_jit(arnop, state, from_k, "arnoldi")
+    from spectra_tpu.solvers._herm_core import stepped_step_split
+
     for i in range(max(int(from_k), 1), ncv):
-        state = _step_jit(arnop, state, jnp.asarray(i, jnp.int32),
-                          mode="arnoldi")
+        state = stepped_step_split(
+            arnop, state, jnp.asarray(i, jnp.int32), mode="arnoldi"
+        )
         jax.device_get(state.beta)  # true sync: bound the worker queue
     return state._replace(k=jnp.asarray(ncv, jnp.int32))
 
@@ -104,7 +110,12 @@ def iram_compute_host(
     eps23 = dtypes.eps23(rdtype)
     cpu = cpu_device()
 
-    state = _init_jit(arnop, v0, ncv, key)
+    if matvec_granularity:
+        from spectra_tpu.solvers._herm_core import stepped_init_split
+
+        state = stepped_init_split(arnop, v0, key, m=ncv)
+    else:
+        state = _init_jit(arnop, v0, ncv, key)
     state = host_factorize(arnop, state, 1, ncv, matvec_granularity)
 
     niter = 0

@@ -343,6 +343,90 @@ def stepped_step(arnop, state, i, *, mode: str):
     return krylov.step_once(arnop, state, i, mode)
 
 
+# -- split-program stepped path ---------------------------------------
+#
+# ``stepped_step`` compiles the operator INTO every step program. When
+# perform_op is a large compiled inner solve (multigrid / Chebyshev at
+# n ~ 1e6 through the TPU's emulated-f64 pipeline), each op-containing
+# program costs minutes of compilation and tens of seconds of
+# per-process executable load — and the stepped path has THREE of them
+# (init, step, and the set_shift trial). The split path makes
+# ``stepped_apply`` the ONLY op-containing program; the step algebra
+# (recurrence, re-orthogonalization, breakdown expansion corrections)
+# runs in small op-free programs, and breakdown decisions move to the
+# host, which already syncs ||f|| every step. Arithmetic is shared
+# with the fused path through ``krylov._post_op``.
+
+
+@jax.jit
+def stepped_apply(arnop, x):
+    """``y = Op x`` — the single operator-containing stepped program
+    (also reused by the multigrid trial validation in
+    ``matop.shift_solve``, so one compile serves both)."""
+    return arnop.perform_op(x)
+
+
+_near_test = jax.jit(krylov.split_near_test)
+_expand_rand = jax.jit(krylov.split_expand_rand)
+_expand_correct = jax.jit(krylov.split_expand_correct)
+_set_column = jax.jit(krylov.split_set_column)
+_step_finish = jax.jit(krylov.split_step_finish, static_argnames=("mode",))
+_init_normalize = jax.jit(krylov.split_init_normalize)
+_init_finish = jax.jit(krylov.split_init_finish, static_argnames=("m",))
+
+
+def stepped_init_split(arnop, v0, key, *, m: int):
+    """Split-program twin of :func:`stepped_init`: two
+    ``stepped_apply`` executions + op-free algebra."""
+    v0 = jnp.asarray(v0)
+    vraw = stepped_apply(arnop, v0)
+    v = _init_normalize(arnop, v0, vraw)
+    w = stepped_apply(arnop, v)
+    return _init_finish(arnop, v, w, key, m=m)
+
+
+def stepped_step_split(arnop, state, i: int, *, mode: str):
+    """Split-program twin of :func:`stepped_step`: one
+    ``stepped_apply`` execution in the common case; breakdown
+    expansion (rare) adds at most one more. The host decides the
+    breakdown branch from the synced ||f|| — same rules, same PRNG
+    stream, same arithmetic as the fused ``krylov._step``."""
+    import numpy as np
+
+    dtype = state.V.dtype
+    eps_sqrt = float(np.sqrt(jnp.finfo(dtype).eps))
+    near_0 = float(dtypes.near_zero(dtype))
+
+    beta = float(jax.device_get(state.beta))
+    restart = beta < near_0
+    if mode == "lanczos" and not restart and beta < eps_sqrt:
+        restart = (
+            float(jax.device_get(_near_test(arnop, state, i))) > eps_sqrt
+        )
+
+    nops_inc = jnp.asarray(1, jnp.int64)
+    if restart:
+        f = fn = None
+        for it in range(5):
+            rand = _expand_rand(state.key, i, jnp.asarray(it, jnp.int32),
+                                state.f)
+            if it == 0:
+                cand = stepped_apply(arnop, rand)
+                nops_inc = nops_inc + 1
+            else:
+                cand = rand
+            f, fn, ok = _expand_correct(arnop, state.V, cand)
+            if bool(jax.device_get(ok)):
+                break
+        state = state._replace(f=f, beta=fn)
+
+    state, v = _set_column(state, i)
+    w = stepped_apply(arnop, v)
+    return _step_finish(
+        arnop, state, w, i, jnp.asarray(restart), nops_inc, mode=mode
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("nev", "ncv", "selection", "restart_method")
 )

@@ -335,13 +335,13 @@ class HermEigsBase:
             self._resume_carry = None
         else:
             state = sync(
-                core.stepped_init(
+                core.stepped_init_split(
                     self._arnop, self._v0, jax.random.PRNGKey(0), m=self._ncv
                 )
             )
             for i in range(1, self._ncv):
                 state = sync(
-                    core.stepped_step(
+                    core.stepped_step_split(
                         self._arnop, state, jnp.asarray(i, jnp.int32), mode=mode
                     )
                 )
@@ -369,7 +369,7 @@ class HermEigsBase:
             )
             for i in range(int(k_resume), self._ncv):
                 state = sync(
-                    core.stepped_step(
+                    core.stepped_step_split(
                         self._arnop, state, jnp.asarray(i, jnp.int32), mode=mode
                     )
                 )

@@ -386,3 +386,39 @@ def test_matvec_granularity_checkpoint_resume(tmp_path, monkeypatch):
     np.testing.assert_allclose(
         res.eigenvalues(), ref.eigenvalues(), rtol=0, atol=1e-10
     )
+
+
+def test_matvec_granularity_breakdown_expansion(monkeypatch):
+    """The stepped driver's host-side breakdown branch (rare path: the
+    split-program port of expand_basis) replays the compiled driver's
+    expansion exactly — eigenvector start forces ||f|| = 0 at init, so
+    step 1 must random-restart the basis on both paths."""
+    monkeypatch.setenv("SPECTRA_TPU_DENSE_DRIVER", "jax")
+    n = 50
+    A = np.diag(np.arange(1.0, n + 1.0))
+    v0 = np.zeros(n)
+    v0[-1] = 1.0  # exact eigenvector: init force-zeros the residual
+    op = st.DenseSymMatProd.create(A)
+
+    ref = st.SymEigsSolver(op, nev=3, ncv=8)
+    ref.init(v0)
+    ref.compute(SortRule.LargestMagn)
+
+    stepped = st.SymEigsSolver(op, nev=3, ncv=8)
+    stepped.set_matvec_granularity(True)
+    stepped.init(v0)
+    nconv = stepped.compute(SortRule.LargestMagn)
+
+    assert nconv == 3
+    assert stepped.info() == CompInfo.Successful
+    # identical decisions: the expansion's extra operator application
+    # is counted on both paths
+    assert stepped.num_operations() == ref.num_operations()
+    assert stepped.num_iterations() == ref.num_iterations()
+    np.testing.assert_allclose(
+        np.sort(stepped.eigenvalues()), [n - 2.0, n - 1.0, float(n)],
+        atol=1e-9,
+    )
+    np.testing.assert_allclose(
+        stepped.eigenvalues(), ref.eigenvalues(), rtol=0, atol=1e-12
+    )
