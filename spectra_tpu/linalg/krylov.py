@@ -66,6 +66,18 @@ def _maxabs(x):
     return jnp.max(jnp.abs(x))
 
 
+def _normalize_mode(mode: str):
+    """Split a mode string into (base mode, selective flag).
+
+    ``"lanczos_selective"`` requests Simon's omega-recurrence partial
+    re-orthogonalization (handled by :func:`factorize_from`); every
+    other consumer of the mode string sees the plain base mode.
+    """
+    if mode == "lanczos_selective":
+        return "lanczos", True
+    return mode, False
+
+
 def init(arnop, v0, m: int, key) -> KrylovState:
     """Build the 1-step factorization from the starting vector ``v0``.
 
@@ -250,26 +262,33 @@ def _reorth_loop(arnop, V, f, beta, H, i, mode: str, skip, dtype, n):
     return f, beta, H
 
 
+def _lanczos_coeffs(arnop, V, H, v, w, h_sub, i):
+    """Three-term recurrence (Cullum & Willoughby ordering): alpha/beta
+    coefficients, residual, H column write. No re-orthogonalization."""
+    w = w - h_sub * V[:, i - 1]
+    alpha = arnop.inner_product(v, w)
+    f = w - alpha * v
+    H = (
+        H.at[i, i - 1].set(h_sub)
+        .at[i - 1, i].set(h_sub)
+        .at[i, i].set(alpha)
+    )
+    beta = arnop.norm(f)
+    return f, beta, H
+
+
 def _post_op(arnop, V, H, v, w, h_sub, i, mode: str):
     """Everything after ``w = A v``: recurrence coefficients, residual,
     re-orthogonalization. Shared verbatim by the fused ``_step`` and
     the split-program stepped path (:mod:`solvers._herm_core`
     ``stepped_*_split``) so the two execute identical arithmetic."""
+    mode, _ = _normalize_mode(mode)
     n, m = V.shape
     dtype = V.dtype
     rdtype = dtypes.real_dtype(dtype)
 
     if mode == "lanczos":
-        # Three-term recurrence (Cullum & Willoughby ordering).
-        w = w - h_sub * V[:, i - 1]
-        alpha = arnop.inner_product(v, w)
-        f = w - alpha * v
-        H = (
-            H.at[i, i - 1].set(h_sub)
-            .at[i - 1, i].set(h_sub)
-            .at[i, i].set(alpha)
-        )
-        beta = arnop.norm(f)
+        f, beta, H = _lanczos_coeffs(arnop, V, H, v, w, h_sub, i)
         skip = jnp.asarray(False)
     else:
         # Full Gram-Schmidt: h = V^H B w over all i+1 current columns
@@ -287,10 +306,12 @@ def _post_op(arnop, V, H, v, w, h_sub, i, mode: str):
     return _reorth_loop(arnop, V, f, beta, H, i, mode, skip, dtype, n)
 
 
-def _step(arnop, state: KrylovState, i, mode: str) -> KrylovState:
-    """One factorization step: extend from i columns to i+1."""
-    V, H, f, beta, _, nops, key = state
-    n, m = V.shape
+def _pre_op(arnop, state: KrylovState, i, mode: str):
+    """Everything before ``w = A v``: breakdown detection (+ random
+    expansion on breakdown) and basis extension. Returns
+    ``(V, v, h_sub, nops, restart)``; shared by the full-reorth and
+    selective-reorth steps."""
+    V, _, f, beta, _, nops, key = state
     dtype = V.dtype
     rdtype = dtypes.real_dtype(dtype)
     eps = jnp.asarray(dtypes.eps(dtype), rdtype)
@@ -330,15 +351,136 @@ def _step(arnop, state: KrylovState, i, mode: str) -> KrylovState:
     V = V.at[:, i].set(v)
     # H[i, i-1] is the unrestarted beta (0 after a restart).
     h_sub = jnp.where(restart, jnp.asarray(0.0, rdtype), beta).astype(dtype)
+    return V, v, h_sub, nops, restart
 
+
+def _step(arnop, state: KrylovState, i, mode: str) -> KrylovState:
+    """One factorization step: extend from i columns to i+1."""
+    mode, _ = _normalize_mode(mode)
+    V, v, h_sub, nops, _ = _pre_op(arnop, state, i, mode)
     w = arnop.perform_op(v)
     nops = nops + 1
 
-    f, beta, H = _post_op(arnop, V, H, v, w, h_sub, i, mode)
+    f, beta, H = _post_op(arnop, V, state.H, v, w, h_sub, i, mode)
 
     return KrylovState(
-        V=V, H=H, f=f, beta=beta, k=jnp.asarray(i + 1, jnp.int32), nops=nops, key=key
+        V=V, H=H, f=f, beta=beta, k=jnp.asarray(i + 1, jnp.int32),
+        nops=nops, key=state.key,
     )
+
+
+def _step_selective(arnop, state: KrylovState, i, w_prev, w_cur, force):
+    """One Lanczos step with selective re-orthogonalization (Simon 1984
+    / Parlett-Scott; the PROPACK recipe). The (n, m) DGKS projection is
+    paid only when the omega recurrence — an O(m) estimate of the
+    orthogonality loss <v_{i+1}, v_j> driven by the computed alpha/beta
+    coefficients — predicts loss above sqrt(eps), preserving
+    SEMIorthogonality (sufficient for Ritz values accurate to machine
+    precision; Simon, Math. Comp. 42 (1984) 115-142). ARPACK-equivalent
+    full DGKS remains the default mode; this is the opt-in fast path
+    for operators whose per-step cost is dominated by the projections
+    (e.g. a cheap sparse matvec, or a host-factored shift-solve at
+    n ~ 1e6).
+
+    Carries ``w_prev[j] ~ <v_{i-1}, v_j>`` and ``w_cur[j] ~ <v_i, v_j>``
+    (real, length m); ``force`` re-orthogonalizes unconditionally (set
+    on the first step after a restart, and on the step after any
+    triggered re-orthogonalization — the Parlett-Scott pairwise rule).
+    """
+    V, v, h_sub, nops, restarted = _pre_op(arnop, state, i, "lanczos")
+    w = arnop.perform_op(v)
+    nops = nops + 1
+
+    n, m = V.shape
+    dtype = V.dtype
+    rdtype = dtypes.real_dtype(dtype)
+    eps = jnp.asarray(dtypes.eps(dtype), rdtype)
+    eps_sqrt = jnp.sqrt(eps)
+    near_0 = jnp.asarray(dtypes.near_zero(dtype), rdtype)
+
+    f, beta, H = _lanczos_coeffs(arnop, V, state.H, v, w, h_sub, i)
+
+    # Trigger at sqrt(eps/m) (PROPACK's delta), not sqrt(eps): the m
+    # accumulated omega-level components perturb Ritz values jointly,
+    # so the per-column budget shrinks with the basis size.
+    delta = jnp.sqrt(jnp.asarray(dtypes.eps(dtype), dtypes.real_dtype(dtype)) / m)
+
+    # --- omega recurrence --------------------------------------------
+    # beta_i <v_{i+1}, v_j> = <v_i, A v_j> - alpha_i <v_i, v_j>
+    #                         - beta_{i-1} <v_{i-1}, v_j>
+    # with A v_j expanded by the three-term recurrence of column j.
+    alpha_vec = jnp.real(jnp.diagonal(H))
+    beta_vec = jnp.concatenate(
+        [jnp.real(jnp.diagonal(H, offset=-1)), jnp.zeros((1,), rdtype)]
+    )  # beta_vec[j] couples v_j and v_{j+1}
+    w_cur = w_cur.at[i].set(1.0)
+    alpha_i = jnp.real(H[i, i])
+    beta_prev = jnp.real(h_sub).astype(rdtype)
+    beta_new = jnp.maximum(beta, near_0)
+
+    up = jnp.concatenate([w_cur[1:], jnp.zeros((1,), rdtype)])  # w_cur[j+1]
+    dn = jnp.concatenate([jnp.zeros((1,), rdtype), w_cur[:-1]])  # w_cur[j-1]
+    b_dn = jnp.concatenate([jnp.zeros((1,), rdtype), beta_vec[:-1]])
+    w_new = (
+        beta_vec * up
+        + (alpha_vec - alpha_i) * w_cur
+        + b_dn * dn
+        - beta_prev * w_prev
+    ) / beta_new
+    # Rounding-noise floor of the recurrence itself (PROPACK's theta).
+    w_new = w_new + jnp.sign(w_new) * (
+        0.3 * eps * (beta_vec + beta_new) / beta_new
+    )
+    col = jnp.arange(m)
+    local = eps * jnp.sqrt(jnp.asarray(n, rdtype))
+    w_new = jnp.where(col < i, w_new, 0.0).at[i].set(local)
+
+    need = force | restarted | (jnp.max(jnp.abs(w_new)) > delta)
+
+    def do_reorth(args):
+        f_, beta_, H_, w_ = args
+        f2, beta2, H2 = _reorth_loop(
+            arnop, V, f_, beta_, H_, i, "lanczos", jnp.asarray(False), dtype, n
+        )
+        w2 = jnp.where(col <= i, local, 0.0)
+        return f2, beta2, H2, w2
+
+    f, beta, H, w_new = jax.lax.cond(
+        need, do_reorth, lambda a: a, (f, beta, H, w_new)
+    )
+    # Parlett-Scott: a triggered re-orthogonalization also forces one on
+    # the following step (but a forced one does not cascade).
+    force_next = need & (~force)
+
+    new_state = KrylovState(
+        V=V, H=H, f=f, beta=beta, k=jnp.asarray(i + 1, jnp.int32),
+        nops=nops, key=state.key,
+    )
+    return new_state, w_cur, w_new, force_next
+
+
+def _factorize_selective(arnop, state: KrylovState, from_k) -> KrylovState:
+    """`factorize_from` with selective re-orthogonalization. The omega
+    estimates live only inside this loop: the first step after every
+    entry (init or restart compression, both of which invalidate the
+    estimates) re-orthogonalizes unconditionally, and the entering
+    basis is assumed semiorthogonal — the invariant this mode
+    maintains."""
+    m = state.V.shape[1]
+    rdtype = dtypes.real_dtype(state.V.dtype)
+    from_k = jnp.maximum(jnp.asarray(from_k, jnp.int32), 1)
+    seed = 0.25 * jnp.sqrt(jnp.asarray(dtypes.eps(state.V.dtype), rdtype))
+    col = jnp.arange(m)
+    w0 = jnp.where(col < from_k, seed, 0.0)
+
+    def body(i, carry):
+        st, wp, wc, force = carry
+        return _step_selective(arnop, st, i, wp, wc, force)
+
+    state, _, _, _ = jax.lax.fori_loop(
+        from_k, m, body, (state, w0, w0, jnp.asarray(True))
+    )
+    return state._replace(k=jnp.asarray(m, jnp.int32))
 
 
 def step_once(arnop, state: KrylovState, i, mode: str) -> KrylovState:
@@ -359,6 +501,9 @@ def factorize_from(arnop, state: KrylovState, from_k, mode: str) -> KrylovState:
     of HBM traffic per step at n = 1e6, which dominated the entire
     solve.)
     """
+    mode, selective = _normalize_mode(mode)
+    if selective and mode == "lanczos" and not arnop.has_structure:
+        return _factorize_selective(arnop, state, from_k)
     m = state.V.shape[1]
     from_k = jnp.maximum(jnp.asarray(from_k, jnp.int32), 1)
 

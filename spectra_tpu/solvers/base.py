@@ -69,6 +69,7 @@ class HermEigsBase:
         self._result = None
         self._restart_chunk = None
         self._restart_method = "implicit"
+        self._reorth = "full"
         self._matvec_granularity = False
         self._carry = None
         self._resume_carry = None
@@ -82,6 +83,29 @@ class HermEigsBase:
         if method not in ("implicit", "thick"):
             raise ValueError("restart method must be 'implicit' or 'thick'")
         self._restart_method = method
+
+    def set_reorth(self, method: str):
+        """``"full"`` (default): always-on DGKS re-orthogonalization —
+        rule-for-rule the reference's Lanczos (Lanczos.h:62-187), two
+        (n, ncv) projections per step. ``"selective"``: Simon's
+        omega-recurrence partial re-orthogonalization — an O(ncv)
+        recurrence predicts the orthogonality loss each step and the
+        projections are paid only when it crosses sqrt(eps), preserving
+        semiorthogonality (Ritz values still accurate to machine
+        precision). Cuts the per-step cost to the matvec + two
+        n-vector reductions on the vast majority of steps; use when
+        the projections dominate (large n, cheap operator — e.g. the
+        host-factored 1M-node shift-invert). Ignored (full reorth) by
+        structured operators and the matvec-granularity stepped
+        driver."""
+        if method not in ("full", "selective"):
+            raise ValueError("reorth method must be 'full' or 'selective'")
+        self._reorth = method
+
+    def _eff_mode(self) -> str:
+        if self._mode == "lanczos" and self._reorth == "selective":
+            return "lanczos_selective"
+        return self._mode
 
     def save_checkpoint(self, path: str):
         """Serialize the current iteration state (V, H, f, k + Ritz
@@ -124,7 +148,7 @@ class HermEigsBase:
             nev=self._nev,
             ncv=self._ncv,
             selection=SortRule.LargestMagn,
-            mode=self._mode,
+            mode=self._eff_mode(),
         )
         treedef = jax.tree_util.tree_structure(template)
         self._resume_carry = jax.tree_util.tree_unflatten(
@@ -223,7 +247,7 @@ class HermEigsBase:
                 ncv=self._ncv,
                 selection=selection,
                 sorting=sorting,
-                mode=self._mode,
+                mode=self._eff_mode(),
                 transform=type(self)._ritz_transform,
                 restart_method=self._restart_method,
             )
@@ -232,7 +256,7 @@ class HermEigsBase:
                 nev=self._nev,
                 ncv=self._ncv,
                 selection=selection,
-                mode=self._mode,
+                mode=self._eff_mode(),
                 restart_method=self._restart_method,
             )
             if self._resume_carry is not None:
