@@ -366,11 +366,19 @@ def stepped_apply(arnop, x):
     return arnop.perform_op(x)
 
 
+# The per-step split programs DONATE the iteration state: without
+# input-output aliasing each program holds TWO copies of the (n, ncv)
+# basis (in + out), which at the 100M-nnz scale (n = 14.3M, ncv = 40,
+# f64 -> 4.6 GB) pushed the step program past the 16 GB HBM and killed
+# the north-star run. Every caller rebinds its state variable on the
+# returned value, so the invalidated input is never read again.
 _near_test = jax.jit(krylov.split_near_test)
 _expand_rand = jax.jit(krylov.split_expand_rand)
 _expand_correct = jax.jit(krylov.split_expand_correct)
-_set_column = jax.jit(krylov.split_set_column)
-_step_finish = jax.jit(krylov.split_step_finish, static_argnames=("mode",))
+_set_column = jax.jit(krylov.split_set_column, donate_argnums=(0,))
+_step_finish = jax.jit(
+    krylov.split_step_finish, static_argnames=("mode",), donate_argnums=(1, 2)
+)
 _init_normalize = jax.jit(krylov.split_init_normalize)
 _init_finish = jax.jit(krylov.split_init_finish, static_argnames=("m",))
 
@@ -428,14 +436,17 @@ def stepped_step_split(arnop, state, i: int, *, mode: str):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nev", "ncv", "selection", "restart_method")
+    jax.jit,
+    static_argnames=("nev", "ncv", "selection", "restart_method"),
+    donate_argnums=(0,),
 )
 def stepped_extract(
     state, tol, restarts, *, nev: int, ncv: int,
     selection: SortRule, restart_method: str,
 ) -> _LoopCarry:
     """Ritz extraction + convergence count on the replicated H — no
-    operator applications, O(ncv^3) work."""
+    operator applications, O(ncv^3) work. Donates ``state`` (the V
+    buffer passes through to the carry aliased; the caller rebinds)."""
     ritz_val, ritz_est, ritz_vec = _retrieve_ritzpair(
         state.H, selection, nev, full_h=restart_method == "thick"
     )
@@ -444,22 +455,24 @@ def stepped_extract(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nev", "ncv", "selection", "restart_method")
+    jax.jit,
+    static_argnames=("nev", "ncv", "selection", "restart_method"),
+    donate_argnums=(1,),
 )
 def stepped_restart_compress(
-    arnop, carry: _LoopCarry, *, nev: int, ncv: int,
+    arnop, state, ritz_val, ritz_est, nconv, *, nev: int, ncv: int,
     selection: SortRule, restart_method: str,
 ):
     """nev-adjust + shift/compress (implicit) or collapse+arrow (thick).
     Zero operator applications for implicit, one for thick. Returns the
-    compressed state and the host-fetchable resume column ``state.k``."""
-    k_new = _nev_adjusted(carry.nconv, carry.ritz_est, nev, ncv)
+    compressed state and the host-fetchable resume column ``state.k``.
+    Donates ``state`` (its V rotates in place; the driver has already
+    fetched the scalars it logs and rebinds after re-expansion)."""
+    k_new = _nev_adjusted(nconv, ritz_est, nev, ncv)
     if restart_method == "thick":
-        state = _restart_thick_compress(arnop, carry.state, k_new, ncv, selection)
+        state = _restart_thick_compress(arnop, state, k_new, ncv, selection)
     else:
-        state = _restart_compress(
-            arnop, carry.state, carry.ritz_val, k_new, nev, ncv
-        )
+        state = _restart_compress(arnop, state, ritz_val, k_new, nev, ncv)
     return state, state.k
 
 

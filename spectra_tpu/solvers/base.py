@@ -389,7 +389,8 @@ class HermEigsBase:
                 # NaN-poisoned inner solve: fail loud, don't burn budget.
                 break
             state, k_resume = core.stepped_restart_compress(
-                self._arnop, carry, **fixed
+                self._arnop, carry.state, carry.ritz_val, carry.ritz_est,
+                carry.nconv, **fixed,
             )
             for i in range(int(k_resume), self._ncv):
                 state = sync(
