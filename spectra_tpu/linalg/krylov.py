@@ -403,7 +403,9 @@ def _step_selective(arnop, state: KrylovState, i, w_prev, w_cur, force):
     # Trigger at sqrt(eps/m) (PROPACK's delta), not sqrt(eps): the m
     # accumulated omega-level components perturb Ritz values jointly,
     # so the per-column budget shrinks with the basis size.
-    delta = jnp.sqrt(jnp.asarray(dtypes.eps(dtype), dtypes.real_dtype(dtype)) / m)
+    delta = jnp.sqrt(
+        jnp.asarray(dtypes.eps(dtype), dtypes.real_dtype(dtype)) / m
+    )
 
     # --- omega recurrence --------------------------------------------
     # beta_i <v_{i+1}, v_j> = <v_i, A v_j> - alpha_i <v_i, v_j>
