@@ -55,7 +55,18 @@ class PartialSVDSolver:
     """
 
     def __init__(self, mat, ncomp: int, ncv: int):
-        if _is_scipy_sparse(mat):
+        if hasattr(mat, "perform_op"):
+            # MatProd-protocol operator pass-through (api.svds advertises
+            # it). The Gram matvec needs the adjoint product too.
+            if not hasattr(mat, "perform_adjoint_op"):
+                raise TypeError(
+                    "operator input to PartialSVDSolver/svds must expose "
+                    "both perform_op and perform_adjoint_op (the Gram "
+                    "matvec is A^H(Ax)); got "
+                    f"{type(mat).__name__} without perform_adjoint_op"
+                )
+            self._matop = mat
+        elif _is_scipy_sparse(mat):
             self._matop = SparseGenMatProd.create(mat)
         else:
             self._matop = DenseGenMatProd.create(np.asarray(mat))

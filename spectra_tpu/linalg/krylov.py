@@ -1,6 +1,7 @@
 """Krylov (Lanczos / Arnoldi) factorization — the sharded hot loop.
 
-Maintains the m-step factorization  A V = V H + f e_m^T  with V n-by-m
+Maintains the m-step factorization  A V = V H + f e_m^T  with V held
+ROW-MAJOR as an (m, n) array (basis vector i in row V[i]),
 B-orthonormal, H m-by-m (symmetric tridiagonal for Lanczos, upper
 Hessenberg for Arnoldi) and residual f.
 
@@ -9,10 +10,12 @@ in-place pointer loops, reference: include/Spectra/LinAlg/Arnoldi.h:
 32-341 and Lanczos.h:28-218):
 
   * All buffers are statically shaped at ncv = m. The growing basis is
-    encoded by the invariant that **columns >= k of V are exactly
-    zero**, so every projection is a full-width (n, m) GEMV/GEMM — a
-    fixed MXU-friendly shape — and needs no masking or dynamic slicing
-    on the big axis.
+    encoded by the invariant that **rows >= k of V are exactly zero**,
+    so every projection is a full-width (m, n) GEMV/GEMM — a fixed
+    TPU-friendly shape — and needs no masking or dynamic slicing on
+    the big axis. Rows (not columns): the minor dimension is n, so the
+    (8, 128) tile padding is O(1/n) instead of the 3.2x lane padding an
+    (n, ncv) layout pays at ncv = 40 (see ops/gemv.py).
   * The factorization step index and the restart point k are traced
     values; the step loop is a static ``fori_loop`` over m whose body is
     predicated on ``i >= from_k``, which is how data-dependent restart
@@ -53,7 +56,7 @@ from spectra_tpu.util.rng import uniform_m05_05
 class KrylovState(NamedTuple):
     """The factorization state: a pytree, shardable along n."""
 
-    V: jax.Array  # (n, m); columns >= k are zero
+    V: jax.Array  # (m, n) row-major; rows >= k are zero
     H: jax.Array  # (m, m)
     f: jax.Array  # (n,)
     beta: jax.Array  # scalar real: ||f||_B
@@ -104,7 +107,7 @@ def init(arnop, v0, m: int, key) -> KrylovState:
     if arnop.has_structure:
         # Remove structural (e.g. J-orbit) rounding components so the
         # next basis vector v1 = f/||f|| is structure-clean.
-        jv = arnop.ortho_basis(v[:, None])[:, 1:]
+        jv = arnop.ortho_basis(v[None, :])[1:]
         f = f - basis_apply(jv, arnop.adjoint_product(jv, f))
 
     # If v is already an eigenvector, f is pure rounding noise: force it
@@ -113,7 +116,7 @@ def init(arnop, v0, m: int, key) -> KrylovState:
     f = jnp.where(force_zero, jnp.zeros_like(f), f)
     beta = jnp.where(force_zero, jnp.asarray(0.0, rdtype), arnop.norm(f))
 
-    V = jnp.zeros((n, m), dtype).at[:, 0].set(v)
+    V = jnp.zeros((m, n), dtype).at[0].set(v)
     H = jnp.zeros((m, m), dtype).at[0, 0].set(h00)
     return KrylovState(
         V=V,
@@ -128,12 +131,12 @@ def init(arnop, v0, m: int, key) -> KrylovState:
 
 def _expand_basis(arnop, V, num_cols, key, dtype):
     """Find f != 0 with (V^H) B f = 0 against the first ``num_cols``
-    columns of V (all later columns are zero by invariant).
+    rows of V (all later rows are zero by invariant).
 
     Returns (f, fnorm, extra_ops). Up to 5 random tries; the first is
     forced into range(A); each try gets <= 3 DGKS corrections.
     """
-    n = V.shape[0]
+    n = V.shape[1]
     rdtype = dtypes.real_dtype(dtype)
     eps = jnp.asarray(dtypes.eps(dtype), rdtype)
     # Vp == V for plain ops; structured ops widen it (e.g. [V, JV]) so
@@ -265,7 +268,7 @@ def _reorth_loop(arnop, V, f, beta, H, i, mode: str, skip, dtype, n):
 def _lanczos_coeffs(arnop, V, H, v, w, h_sub, i):
     """Three-term recurrence (Cullum & Willoughby ordering): alpha/beta
     coefficients, residual, H column write. No re-orthogonalization."""
-    w = w - h_sub * V[:, i - 1]
+    w = w - h_sub * V[i - 1]
     alpha = arnop.inner_product(v, w)
     f = w - alpha * v
     H = (
@@ -283,7 +286,7 @@ def _post_op(arnop, V, H, v, w, h_sub, i, mode: str):
     the split-program stepped path (:mod:`solvers._herm_core`
     ``stepped_*_split``) so the two execute identical arithmetic."""
     mode, _ = _normalize_mode(mode)
-    n, m = V.shape
+    m, n = V.shape
     dtype = V.dtype
     rdtype = dtypes.real_dtype(dtype)
 
@@ -291,8 +294,8 @@ def _post_op(arnop, V, H, v, w, h_sub, i, mode: str):
         f, beta, H = _lanczos_coeffs(arnop, V, H, v, w, h_sub, i)
         skip = jnp.asarray(False)
     else:
-        # Full Gram-Schmidt: h = V^H B w over all i+1 current columns
-        # (tail columns are zero so the full-width GEMV is exact).
+        # Full Gram-Schmidt: h = V^H B w over all i+1 current rows
+        # (tail rows are zero so the full-width GEMV is exact).
         # Structured ops project against the widened basis; only the
         # leading V-coefficients are recurrence entries.
         Vp = arnop.ortho_basis(V)
@@ -325,7 +328,7 @@ def _pre_op(arnop, state: KrylovState, i, mode: str):
         # component of f/||f|| along the latest basis vector.
         def near_test(_):
             v_cand = f / jnp.maximum(beta, near_0)
-            Viv = arnop.inner_product(V[:, i - 1], v_cand)
+            Viv = arnop.inner_product(V[i - 1], v_cand)
             return jnp.abs(Viv) > eps_sqrt
 
         restart = restart | jax.lax.cond(
@@ -348,7 +351,7 @@ def _pre_op(arnop, state: KrylovState, i, mode: str):
 
     # --- extend the basis -------------------------------------------
     v = f / jnp.maximum(beta, near_0)
-    V = V.at[:, i].set(v)
+    V = V.at[i].set(v)
     # H[i, i-1] is the unrestarted beta (0 after a restart).
     h_sub = jnp.where(restart, jnp.asarray(0.0, rdtype), beta).astype(dtype)
     return V, v, h_sub, nops, restart
@@ -391,7 +394,7 @@ def _step_selective(arnop, state: KrylovState, i, w_prev, w_cur, force):
     w = arnop.perform_op(v)
     nops = nops + 1
 
-    n, m = V.shape
+    m, n = V.shape
     dtype = V.dtype
     rdtype = dtypes.real_dtype(dtype)
     eps = jnp.asarray(dtypes.eps(dtype), rdtype)
@@ -468,7 +471,7 @@ def _factorize_selective(arnop, state: KrylovState, from_k) -> KrylovState:
     estimates) re-orthogonalizes unconditionally, and the entering
     basis is assumed semiorthogonal — the invariant this mode
     maintains."""
-    m = state.V.shape[1]
+    m = state.V.shape[0]
     rdtype = dtypes.real_dtype(state.V.dtype)
     from_k = jnp.maximum(jnp.asarray(from_k, jnp.int32), 1)
     seed = 0.25 * jnp.sqrt(jnp.asarray(dtypes.eps(state.V.dtype), rdtype))
@@ -506,7 +509,7 @@ def factorize_from(arnop, state: KrylovState, from_k, mode: str) -> KrylovState:
     mode, selective = _normalize_mode(mode)
     if selective and mode == "lanczos" and not arnop.has_structure:
         return _factorize_selective(arnop, state, from_k)
-    m = state.V.shape[1]
+    m = state.V.shape[0]
     from_k = jnp.maximum(jnp.asarray(from_k, jnp.int32), 1)
 
     def body(i, st):
@@ -532,10 +535,10 @@ def truncate_schur(arnop, state: KrylovState, U, T_new, k_new) -> KrylovState:
     include/Spectra/GenEigsBase.h:44-140).
     """
     V, _, f, beta, _, nops, key = state
-    m = V.shape[1]
+    m = V.shape[0]
     VU = basis_apply_block(V, U.astype(V.dtype))
     col = jnp.arange(m)
-    V_new = jnp.where((col < k_new)[None, :], VU, 0.0)
+    V_new = jnp.where((col < k_new)[:, None], VU, 0.0)
     keep = (col[:, None] < k_new) & (col[None, :] < k_new)
     H_masked = jnp.where(keep, T_new.astype(V.dtype), 0.0)
     return KrylovState(
@@ -559,15 +562,15 @@ def compress(arnop, state: KrylovState, Q, H_new, k_new) -> KrylovState:
     (reference: Arnoldi.h:321-340).
     """
     V, _, f, _, _, nops, key = state
-    n, m = V.shape
+    m, n = V.shape
     VQ = basis_apply_block(V, Q.astype(V.dtype))
 
     sigma = Q[m - 1, k_new - 1].astype(V.dtype)
-    f_new = f * sigma + VQ[:, k_new] * H_new[k_new, k_new - 1]
+    f_new = f * sigma + VQ[k_new] * H_new[k_new, k_new - 1]
     beta_new = arnop.norm(f_new)
 
     col = jnp.arange(m)
-    V_new = jnp.where((col < k_new)[None, :], VQ, 0.0)
+    V_new = jnp.where((col < k_new)[:, None], VQ, 0.0)
     keep = (col[:, None] < k_new) & (col[None, :] < k_new)
     H_masked = jnp.where(keep, H_new, 0.0)
 
@@ -603,7 +606,7 @@ def split_near_test(arnop, state: KrylovState, i):
     V, _, f, beta, *_ = state
     near_0 = jnp.asarray(dtypes.near_zero(V.dtype), dtypes.real_dtype(V.dtype))
     v_cand = f / jnp.maximum(beta, near_0)
-    return jnp.abs(arnop.inner_product(V[:, i - 1], v_cand))
+    return jnp.abs(arnop.inner_product(V[i - 1], v_cand))
 
 
 def split_expand_rand(key, i, it, like):
@@ -651,7 +654,7 @@ def split_set_column(state: KrylovState, i):
     V = state.V
     near_0 = jnp.asarray(dtypes.near_zero(V.dtype), dtypes.real_dtype(V.dtype))
     v = state.f / jnp.maximum(state.beta, near_0)
-    return state._replace(V=V.at[:, i].set(v)), v
+    return state._replace(V=V.at[i].set(v)), v
 
 
 def split_step_finish(
@@ -665,7 +668,7 @@ def split_step_finish(
     V, H, _, beta, _, nops, key = state
     rdtype = dtypes.real_dtype(V.dtype)
     h_sub = jnp.where(restarted, jnp.asarray(0.0, rdtype), beta).astype(V.dtype)
-    v = V[:, i]
+    v = V[i]
     f, beta, H = _post_op(arnop, V, H, v, w, h_sub, i, mode)
     return KrylovState(
         V=V,
@@ -701,14 +704,14 @@ def split_init_finish(arnop, v, w, key, m: int) -> KrylovState:
     h00 = arnop.inner_product(v, w)
     f = w - h00 * v
     if arnop.has_structure:
-        jv = arnop.ortho_basis(v[:, None])[:, 1:]
+        jv = arnop.ortho_basis(v[None, :])[1:]
         f = f - basis_apply(jv, arnop.adjoint_product(jv, f))
 
     force_zero = _maxabs(f) < eps * jnp.abs(h00)
     f = jnp.where(force_zero, jnp.zeros_like(f), f)
     beta = jnp.where(force_zero, jnp.asarray(0.0, rdtype), arnop.norm(f))
 
-    V = jnp.zeros((n, m), dtype).at[:, 0].set(v)
+    V = jnp.zeros((m, n), dtype).at[0].set(v)
     H = jnp.zeros((m, m), dtype).at[0, 0].set(h00)
     return KrylovState(
         V=V,

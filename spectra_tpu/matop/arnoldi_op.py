@@ -68,7 +68,8 @@ class ArnoldiOp:
         return jnp.vdot(x, self.apply_b(y))
 
     def adjoint_product(self, X, y):
-        """X^H B y for a block X (the projection GEMV of the hot loop)."""
+        """<x_i, y>_B for a row-major basis block X (m, n) — the
+        projection GEMV of the hot loop."""
         return basis_proj(X, self.apply_b(y))
 
     def norm(self, x):
@@ -78,9 +79,10 @@ class ArnoldiOp:
     def ortho_basis(self, V):
         """The basis block the residual must be orthogonalized against.
 
-        Default: V itself. Structured subclasses may widen it (extra
-        columns whose projection coefficients are *not* recorded in H —
-        they are pure rounding noise in exact arithmetic).
+        Default: V itself ((m, n) row-major). Structured subclasses may
+        widen it (extra rows whose projection coefficients are *not*
+        recorded in H — they are pure rounding noise in exact
+        arithmetic).
         """
         return V
 
@@ -116,4 +118,4 @@ class JStructuredArnoldiOp(ArnoldiOp):
     has_structure = True
 
     def ortho_basis(self, V):
-        return jnp.concatenate([V, self.op.j_map(V)], axis=1)
+        return jnp.concatenate([V, self.op.j_map(V)], axis=0)

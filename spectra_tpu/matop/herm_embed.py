@@ -77,13 +77,14 @@ class RealEmbeddedHermMatProd:
         """The realified multiplication by i: J(x, y) = (-y, x).
 
         J commutes with E, is orthogonal and antisymmetric. Works on a
-        vector (2n,) or a column block (2n, m). Declaring this method
-        makes :class:`~spectra_tpu.matop.arnoldi_op.ArnoldiOp.create`
+        vector (2n,) or a row-major basis block (m, 2n) — the embedded
+        axis is always the LAST one. Declaring this method makes
+        :class:`~spectra_tpu.matop.arnoldi_op.ArnoldiOp.create`
         return a J-structured op whose Lanczos factorization
         orthogonalizes against J V as well as V (see module docstring).
         """
         n = self.R.shape[0]
-        return jnp.concatenate([-v[n:], v[:n]], axis=0)
+        return jnp.concatenate([-v[..., n:], v[..., :n]], axis=-1)
 
     def recover_eigenvectors(self, embedded_vecs):
         """Complex A-eigenvectors from E-eigenvectors: z = x + i y."""

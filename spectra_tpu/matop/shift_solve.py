@@ -312,7 +312,6 @@ class _HostLUSolver:
         "n",
         "method",
         "out_real",
-        "inner_rtol",
         "precond",
         "cheb_degree",
         "cheb_interval",
@@ -341,6 +340,11 @@ class SparseShiftSolveBase:
     n: int
     method: str
     out_real: bool
+    # DATA leaf (traced scalar once coupled), not static metadata: the
+    # inner tolerance changes with every outer tol, and a static field
+    # would re-pay the minutes-long emulated-f64 compile of the single
+    # op-containing stepped program whenever compute(tol=...) differs
+    # from the set_shift trial's default coupling (advisor round-3).
     inner_rtol: object = None  # float once coupled
     precond: str = "none"
     cheb_degree: int = 16
@@ -468,7 +472,7 @@ class SparseShiftSolveBase:
                 y,
                 b,
                 gershgorin_upper(self.shifted),
-                accept_bw=max(1e2 * rtol, 1e-10),
+                accept_bw=jnp.maximum(1e2 * rtol, 1e-10),
             )
         if self.out_real:
             return jnp.real(y).astype(self.dtype)

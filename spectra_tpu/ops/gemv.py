@@ -1,15 +1,28 @@
-"""Basis GEMVs tuned for the TPU's emulated-f64 pipeline.
+"""Basis GEMVs tuned for the TPU's memory layout and emulated-f64 path.
+
+The Krylov basis is stored **row-major**: ``V`` has shape (m, n) with
+basis vector i in row ``V[i]`` (m = ncv, n the problem size). This is
+the TPU-native layout for a tall-skinny basis:
+
+  * zero tile padding: the minor (lane) dimension is n, padded to a
+    multiple of 128 (negligible at n >> 1); the sublane dimension is m,
+    a small multiple of 8. The transposed (n, m) layout pads m -> 128
+    lanes — measured 3.2x HBM expansion at ncv = 40, which alone pushed
+    the 100M-nnz north-star basis (2.14 GB unpadded) past the v5e HBM
+    once XLA's remat held two padded copies;
+  * row updates ``V.at[i].set(v)`` and reads ``V[i]`` are contiguous
+    dynamic slices on the major dimension — no strided column access;
+  * every projection reads only the true 2.14 GB, not the padded 6.8.
 
 The IRLM hot loop is dominated (after the operator application) by two
-tall-skinny products against the Krylov basis ``V`` (n x m, m = ncv):
-the projection ``V^H y`` and the reconstruction ``V h``. XLA lowers
-``@`` to ``dot_general``, which on TPU routes through the MXU — and
-f64 on the MXU is software-emulated: measured on the v5e at
-n = 1e6, m = 30, the dot lowering costs 52 ms (projection) / 190 ms
-(reconstruction) per call and minutes of compile time, while the SAME
-contraction expressed as a broadcast-multiply + ``sum`` compiles to a
-VPU sweep that runs the pair in ~1 ms in-loop — at the HBM streaming
-roofline (~450 GB/s of the 656 GB/s measured ceiling).
+products against V: the projection ``V y`` (conj) and the
+reconstruction ``h V``. XLA lowers ``@`` to ``dot_general``, which on
+TPU routes through the MXU — and f64 on the MXU is software-emulated:
+measured on the v5e at n = 1e6, m = 30, the dot lowering costs 52 ms
+(projection) / 190 ms (reconstruction) per call and minutes of compile
+time, while the SAME contraction expressed as a broadcast-multiply +
+``sum`` compiles to a VPU sweep that runs the pair in ~1 ms in-loop —
+at the HBM streaming roofline.
 
 On CPU (and for f32 on TPU, where the MXU is native) the dot lowering
 is the right one — BLAS-grade on CPU, systolic on TPU — so the routing
@@ -34,27 +47,30 @@ def _lane_friendly(*arrays) -> bool:
 
 
 def basis_proj(X, y):
-    """``X^H y`` for a tall-skinny basis block X (n, m) and y (n,)."""
+    """``conj(X) y`` for a row-major basis block X (m, n) and y (n,):
+    the projection coefficients ``<x_i, y>`` as an (m,) vector."""
     if _lane_friendly(X, y):
-        return jnp.sum(jnp.conj(X) * y[:, None], axis=0)
-    return jnp.conj(X).T @ y
+        return jnp.sum(jnp.conj(X) * y[None, :], axis=1)
+    return jnp.conj(X) @ y
 
 
 def basis_apply(X, h):
-    """``X h`` for a tall-skinny basis block X (n, m) and h (m,)."""
+    """``sum_i h_i x_i`` for a row-major basis block X (m, n) and
+    coefficients h (m,): the reconstruction as an (n,) vector."""
     if _lane_friendly(X, h):
-        return jnp.sum(X * h[None, :], axis=1)
-    return X @ h
+        return jnp.sum(X * h[:, None], axis=0)
+    return h @ X
 
 
 def basis_apply_block(X, H):
-    """``X H`` for X (n, m) and a small H (m, k) — restart compression
-    and eigenvector assembly. The emulated-f64 dot costs ~190 ms per
-    output column at n = 1e6; the per-column sweep costs one read of X
-    per column (k x 240 MB = ~11 ms at the roofline for k = 30)."""
-    if _lane_friendly(X, H) and X.shape[0] > (1 << 16):
-        cols = [
-            jnp.sum(X * H[None, :, j], axis=1) for j in range(H.shape[1])
+    """Basis rotation ``H^T X`` for X (m, n) row-major and a small
+    H (m, k): returns the rotated (k, n) row-major basis whose row j is
+    ``sum_i H[i, j] x_i`` — restart compression and eigenvector
+    assembly. The emulated-f64 dot costs ~190 ms per output row at
+    n = 1e6; the per-row sweep costs one read of X per row."""
+    if _lane_friendly(X, H) and X.shape[1] > (1 << 16):
+        rows = [
+            jnp.sum(X * H[:, j][:, None], axis=0) for j in range(H.shape[1])
         ]
-        return jnp.stack(cols, axis=1)
-    return X @ H
+        return jnp.stack(rows, axis=0)
+    return H.T @ X

@@ -38,7 +38,7 @@ class IRAMResult(NamedTuple):
     nconv: jax.Array
     niter: jax.Array
     nops: jax.Array
-    V: jax.Array  # (n, ncv)
+    V: jax.Array  # (ncv, n) row-major
     f: jax.Array  # (n,)
 
 

@@ -47,7 +47,7 @@ class IRLMResult(NamedTuple):
     nconv: jax.Array  # int32
     niter: jax.Array  # int32
     nops: jax.Array  # int64
-    V: jax.Array  # (n, ncv) final Krylov basis
+    V: jax.Array  # (ncv, n) final Krylov basis (row-major)
     f: jax.Array  # (n,) final residual
 
 
@@ -136,7 +136,7 @@ def _restart_thick_compress(arnop, state, k_new, ncv: int, selection: SortRule):
     theta = evals[keep_idx]
 
     VY = basis_apply_block(state.V, Yp.astype(state.V.dtype))
-    keep_mask = (col < k_new)[None, :]
+    keep_mask = (col < k_new)[:, None]
     V_new = jnp.where(keep_mask, VY, 0.0)
     # The arrow coupling s = beta * Y[m-1, kept] is not written here:
     # the full-projection step below rebuilds the column numerically.
@@ -367,7 +367,7 @@ def stepped_apply(arnop, x):
 
 
 # The per-step split programs DONATE the iteration state: without
-# input-output aliasing each program holds TWO copies of the (n, ncv)
+# input-output aliasing each program holds TWO copies of the (ncv, n)
 # basis (in + out), which at the 100M-nnz scale (n = 14.3M, ncv = 40,
 # f64 -> 4.6 GB) pushed the step program past the 16 GB HBM and killed
 # the north-star run. Every caller rebinds its state variable on the

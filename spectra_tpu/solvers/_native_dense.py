@@ -120,6 +120,6 @@ def compute(solver, sym: bool, selection: SortRule, maxit, tol, sorting):
         nconv=np.int32(out["nconv"]),
         niter=np.int32(out["niter"]),
         nops=np.int64(out["nops"]),
-        V=vectors,
+        V=vectors.T,
         **kw,
     )

@@ -103,7 +103,17 @@ class HermEigsBase:
         self._reorth = method
 
     def _eff_mode(self) -> str:
-        if self._mode == "lanczos" and self._reorth == "selective":
+        if (
+            self._mode == "lanczos"
+            and self._reorth == "selective"
+            and self._restart_method != "thick"
+        ):
+            # Thick restarts leave H an ARROWHEAD (locked-Ritz couplings
+            # in row/col k), but the omega recurrence reads only
+            # diag(H)/diag(H,-1) — it would never see orthogonality loss
+            # against the locked vectors and silently skip needed
+            # re-orthogonalizations (observed: eigenvalues off by 1e6x
+            # reported Successful). Fall back to full reorth.
             return "lanczos_selective"
         return self._mode
 
@@ -462,8 +472,9 @@ class HermEigsBase:
         if nvec is not None:
             small = small[:, : min(nvec, small.shape[1])]
         out_dtype = np.result_type(res.V.dtype, small.dtype)
+        # V is (ncv, n) row-major; eigenvectors are columns of V^T S.
         return self._vector_transform(
-            res.V.astype(out_dtype) @ small.astype(out_dtype)
+            res.V.astype(out_dtype).T @ small.astype(out_dtype)
         )
 
     def _vector_transform(self, vecs):

@@ -91,7 +91,7 @@ class ChebSymEigsSolver(HermEigsBase):
         res = self._result
         if res is None:
             return
-        vecs = res.V @ res.vectors_small.astype(res.V.dtype)
+        vecs = res.V.T @ res.vectors_small.astype(res.V.dtype)
         lam = np.asarray(self._filtered.rayleigh_quotients(jnp.asarray(vecs)))
         ind = argsort_np(sorting, lam)
         self._result = res._replace(

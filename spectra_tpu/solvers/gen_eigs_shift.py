@@ -97,7 +97,7 @@ class GenEigsComplexShiftSolver(GenEigsBase):
 
         i = 0
         while i < nev:
-            v = V @ vecs[:, i]
+            v = vecs[:, i] @ V
             v_real, v_imag = np.real(v), np.imag(v)
             opv = np.asarray(
                 probe_op.perform_op(jnp.asarray(v_real))

@@ -184,3 +184,29 @@ def test_svds_matches_numpy():
     )
     s_only = st.svds(sps.csr_matrix(A), k=4, return_singular_vectors=False)
     np.testing.assert_allclose(s_only, s, atol=1e-9)
+
+
+def test_svds_operator_passthrough():
+    # MatProd-protocol operators flow through svds (module docstring
+    # advertises it); ones without the adjoint raise a clear TypeError
+    # instead of an obscure downstream failure (advisor round-3 low).
+    rng = np.random.default_rng(23)
+    A = rng.normal(size=(50, 30))
+    op = st.DenseGenMatProd.create(A)
+    u, s, vh = st.svds(op, k=3)
+    st_true = np.linalg.svd(A, compute_uv=False)
+    np.testing.assert_allclose(s, np.sort(st_true[:3]), atol=1e-9)
+    np.testing.assert_allclose(A @ vh.conj().T, u * s[None, :], atol=1e-8)
+
+    class NoAdjoint:
+        def rows(self):
+            return 50
+
+        def cols(self):
+            return 30
+
+        def perform_op(self, x):
+            return x
+
+    with pytest.raises(TypeError, match="perform_adjoint_op"):
+        st.svds(NoAdjoint(), k=3)

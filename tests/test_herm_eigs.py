@@ -149,10 +149,10 @@ def test_j_structured_factorization_invariants():
     v0 = SimpleRandom(0).random_vec(2 * n)
     state = krylov.init(arnop, v0, m, jax.random.key(0))
     state = krylov.factorize_from(arnop, state, 1, "lanczos")
-    V = np.asarray(state.V)
+    V = np.asarray(state.V).T
     H = np.asarray(state.H)
     f = np.asarray(state.f)
-    JV = np.asarray(op.j_map(state.V))
+    JV = np.asarray(op.j_map(state.V)).T
     assert np.abs(V.T @ V - np.eye(m)).max() < 1e-12
     assert np.abs(V.T @ JV).max() < 1e-12
     E = np.block(

