@@ -69,6 +69,27 @@ def _maxabs(x):
     return jnp.max(jnp.abs(x))
 
 
+def _structure_clean(arnop, v):
+    """Project the STARTING vector v into the operator's admissible
+    subspace and renormalize. For J-structured ops this is a rounding-
+    level no-op (v is J-orthogonal to itself analytically), but for a
+    locked (deflated) op v = normalize(Op v0) has O(1) components along
+    the locked directions — the dominant eigenplanes — and a dirty v0
+    column makes the widened projection basis non-orthonormal, which
+    breaks the DGKS correction loop (observed: residual norms growing
+    by ||Op|| per step). Cleaning only f (as the pre-locking code did)
+    is not enough; the basis column itself must lie in the complement.
+    """
+    if not arnop.has_structure:
+        return v
+    near_0 = jnp.asarray(
+        dtypes.near_zero(v.dtype), dtypes.real_dtype(v.dtype)
+    )
+    sb = arnop.ortho_basis(v[None, :])[1:]
+    v = v - basis_apply(sb, arnop.adjoint_product(sb, v))
+    return v / jnp.maximum(arnop.norm(v), near_0)
+
+
 def _normalize_mode(mode: str):
     """Split a mode string into (base mode, selective flag).
 
@@ -100,6 +121,7 @@ def init(arnop, v0, m: int, key) -> KrylovState:
     v = arnop.perform_op(v0)
     vnorm = arnop.norm(v)
     v = jnp.where(vnorm < near_0, v0 / v0norm, v / jnp.maximum(vnorm, near_0))
+    v = _structure_clean(arnop, v)
 
     w = arnop.perform_op(v)
     h00 = arnop.inner_product(v, w)
@@ -688,9 +710,10 @@ def split_init_normalize(arnop, v0, vraw):
     near_0 = jnp.asarray(dtypes.near_zero(v0.dtype), rdtype)
     v0norm = arnop.norm(v0)
     vnorm = arnop.norm(vraw)
-    return jnp.where(
+    v = jnp.where(
         vnorm < near_0, v0 / v0norm, vraw / jnp.maximum(vnorm, near_0)
     )
+    return _structure_clean(arnop, v)
 
 
 def split_init_finish(arnop, v, w, key, m: int) -> KrylovState:

@@ -119,3 +119,71 @@ class JStructuredArnoldiOp(ArnoldiOp):
 
     def ortho_basis(self, V):
         return jnp.concatenate([V, self.op.j_map(V)], axis=0)
+
+
+@pytree_dataclass
+class LockedArnoldiOp:
+    """ArnoldiOp deflated against a locked (converged) invariant block.
+
+    Wraps any ArnoldiOp and widens ``ortho_basis`` with ``locked`` —
+    a (q, n) row-major block of B-orthonormal converged Ritz vectors.
+    Every factorization step then orthogonalizes the residual against
+    the locked subspace as well as the active basis, so the Krylov
+    process explores only the B-orthogonal complement: restarting it
+    from a FRESH random vector surfaces the *remaining* copies of
+    degenerate eigenvalues that a single Krylov sequence cannot resolve
+    (in exact arithmetic a Krylov space contains at most one direction
+    per eigenplane). The locked projections are noise removal — the
+    recorded H is the deflated operator's tridiagonal/Hessenberg, so
+    the whole replicated restart pipeline is unchanged.
+
+    Composes with structured ops: ``inner.ortho_basis(locked)`` widens
+    the locked block by its J-orbit exactly as it widens V.
+
+    The driver seam is :meth:`HermEigsBase.compute_locked`. The
+    reference has no counterpart (its regression test
+    test/Example1.cpp (#144) merely documents the multiplicity
+    limitation); this is the certify-k-smallest-under-multiplicity
+    machinery the 100M-nnz north-star acceptance needs.
+    """
+
+    inner: object  # the wrapped ArnoldiOp (possibly J-structured)
+    locked: object  # (q, n) row-major B-orthonormal locked block
+
+    has_structure = True
+
+    @property
+    def dtype(self):
+        return self.inner.dtype
+
+    @property
+    def op(self):
+        return self.inner.op
+
+    @property
+    def bop(self):
+        return self.inner.bop
+
+    def rows(self) -> int:
+        return self.inner.rows()
+
+    def perform_op(self, x):
+        return self.inner.perform_op(x)
+
+    def apply_b(self, y):
+        return self.inner.apply_b(y)
+
+    def inner_product(self, x, y):
+        return self.inner.inner_product(x, y)
+
+    def adjoint_product(self, X, y):
+        return self.inner.adjoint_product(X, y)
+
+    def norm(self, x):
+        return self.inner.norm(x)
+
+    def ortho_basis(self, V):
+        return jnp.concatenate(
+            [self.inner.ortho_basis(V), self.inner.ortho_basis(self.locked)],
+            axis=0,
+        )

@@ -60,6 +60,11 @@ def eligible(solver, sym: bool) -> bool:
         return False
     if getattr(solver, "_has_bop", False):
         return False
+    if getattr(solver, "_locking_round", False):
+        # Deflated continuation rounds orthogonalize against a locked
+        # block through the ArnoldiOp seam — the native driver has no
+        # deflation; route to the jitted path.
+        return False
     mat = _cached_mat(solver)
     if mat is None or mat.dtype != np.float64 or mat.ndim != 2:
         return False

@@ -17,6 +17,7 @@ from spectra_tpu.solvers._herm_core import (
     irlm_restarts,
     irlm_start,
 )
+from spectra_tpu.util import dtypes
 from spectra_tpu.util.compinfo import CompInfo
 from spectra_tpu.util.rng import SimpleRandom
 from spectra_tpu.util.selection import SortRule
@@ -420,6 +421,134 @@ class HermEigsBase:
             sorting=sorting,
             transform=type(self)._ritz_transform,
         )
+
+    # -- locking / deflated continuation ---------------------------------
+    def _internal_ritz_block(self):
+        """Converged internal Ritz vectors of the last compute() as a
+        (q, n) row-major, B-orthonormal block (in the Lanczos metric —
+        BEFORE any _vector_transform back-solve)."""
+        res = self._result
+        small = np.asarray(res.vectors_small)[:, np.asarray(res.conv)]
+        V = res.V
+        return jnp.asarray(small.T.astype(V.dtype) @ np.asarray(V))
+
+    def compute_locked(
+        self,
+        selection: SortRule = SortRule.LargestMagn,
+        maxit: int = 1000,
+        tol: float = 1e-10,
+        sorting: SortRule = SortRule.LargestAlge,
+        want: SortRule | None = None,
+        max_rounds: int = 6,
+    ) -> int:
+        """The nev most-wanted eigenpairs counted WITH multiplicity.
+
+        A single restarted Krylov sequence resolves at most one
+        direction per eigenplane in exact arithmetic; further copies of
+        a degenerate eigenvalue emerge only through rounding noise, and
+        restart compression routinely truncates them — ARPACK, Spectra
+        and this solver's plain ``compute`` all share the limitation
+        (reference regression test test/Example1.cpp, issue #144).
+        This driver certifies the wanted set: it locks each round's
+        converged Ritz vectors (:class:`~spectra_tpu.matop.arnoldi_op.
+        LockedArnoldiOp` deflation) and re-runs the identical solver
+        from a fresh deterministic random vector in the B-orthogonal
+        complement, where the remaining copies are simple eigenvalues.
+        Rounds stop when a deflated run finds nothing more wanted than
+        the current nev-th value — then the complement provably holds
+        no missing member of the wanted set (up to the solver
+        tolerance) — or after ``max_rounds``.
+
+        ``want`` ranks FINAL (back-transformed) eigenvalues; default
+        ``sorting``. E.g. k-smallest via shift-invert: selection
+        LargestMagn (of nu), want/sorting SmallestAlge (of lambda).
+        ``certified()`` reports whether the frontier test passed.
+        """
+        want = sorting if want is None else want
+        base_arnop = self._arnop
+        vals: np.ndarray | None = None
+        X = None  # (q, n) locked block
+        niter = nops = 0
+        self._locking_certified = False
+
+        from spectra_tpu.matop.arnoldi_op import LockedArnoldiOp
+        from spectra_tpu.util.selection import sort_key_np
+
+        try:
+            for rnd in range(max_rounds):
+                if rnd == 0:
+                    self._locking_round = False
+                else:
+                    self._locking_round = True
+                    self._arnop = LockedArnoldiOp(inner=base_arnop, locked=X)
+                    self.init(
+                        SimpleRandom(77000 + rnd).random_vec(
+                            self._n, self._dtype
+                        )
+                    )
+                self.compute(selection, maxit, tol, sorting)
+                niter += self._niter
+                nops += self._nops
+                new_vals = np.asarray(self.eigenvalues())
+                if rnd == 0:
+                    vals, X = new_vals, self._internal_ritz_block()
+                    if len(vals) == 0:
+                        break
+                    continue
+                if len(new_vals) == 0:
+                    break
+                # Frontier certification: nothing in the deflated
+                # complement is more wanted than our nev-th value
+                # (ties at the boundary are equally-valid copies).
+                key_old = np.sort(sort_key_np(want, vals))
+                boundary = (
+                    key_old[self._nev - 1]
+                    if len(vals) >= self._nev
+                    else np.inf
+                )
+                key_new = sort_key_np(want, new_vals)
+                scale = max(np.abs(key_old).max(), np.abs(key_new).max(), 1.0)
+                slack = max(100.0 * tol, 1e4 * dtypes.eps(self._dtype)) * scale
+                entered = key_new < boundary - slack
+                vals = np.concatenate([vals, new_vals])
+                X = jnp.concatenate(
+                    [X, self._internal_ritz_block()], axis=0
+                )
+                if not np.any(entered):
+                    self._locking_certified = True
+                    break
+        finally:
+            self._arnop = base_arnop
+            self._locking_round = False
+
+        if vals is None or len(vals) == 0:
+            return 0
+        # Wanted top-nev (with multiplicity) across all rounds, in
+        # ``sorting`` order, packaged as a standard result (V holds the
+        # wanted internal vectors; vectors_small = permuted identity).
+        from spectra_tpu.util.selection import argsort_np
+
+        take = argsort_np(want, vals)[: self._nev]
+        wvals = vals[take]
+        WX = np.asarray(X)[take]
+        order = argsort_np(sorting, wvals)
+        nconv = len(wvals)
+        res = self._result._replace(
+            values=wvals[order],
+            vectors_small=np.eye(nconv, dtype=WX.dtype)[:, order],
+            conv=np.ones(nconv, bool),
+            nconv=np.int32(nconv),
+            niter=np.int32(niter),
+            nops=np.int64(nops),
+            V=WX,
+            f=np.zeros((self._n,), WX.dtype),
+        )
+        return self._finish_result(res)
+
+    def certified(self) -> bool:
+        """True when the last :meth:`compute_locked` proved the wanted
+        set complete under multiplicity (frontier test passed)."""
+        return bool(getattr(self, "_locking_certified", False))
 
     def _finish_result(self, res) -> int:
         res = jax.tree_util.tree_map(fetch_result_leaf, res)
