@@ -10,9 +10,24 @@ script runs the same problem class END-TO-END on the single v5e:
     at this size; a 2-D matrix with 100M nnz would have kappa ~ 1e7);
   * primary metric: in-loop DIA SpMV nnz/s at 100M nnz;
   * solver: SymEigsShiftSolver at sigma=0 with the geometric-multigrid
-    inner solve (O(1) V-cycles per solve), k=20, ncv=40, tol=1e-10;
+    inner solve (O(1) V-cycles per solve), k=20, ncv=40, tol=1e-10,
+    **compute_locked**: converged-pair locking + deflated continuation
+    rounds so the degenerate 3-D spectrum (permutation multiplicities)
+    is captured WITH multiplicity — the certification a single
+    restarted Lanczos sequence (ours, ARPACK's, Spectra's) cannot give;
   * validation: eigenvalues vs the analytic spectrum
-    lambda_{ijk} = mu_i + mu_j + mu_k, mu_i = 4 sin^2(i pi / 2(g+1)).
+    lambda_{ijk} = mu_i + mu_j + mu_k, mu_i = 4 sin^2(i pi / 2(g+1)),
+    reported as multiplicity-counted prefix agreement; at g<=64 also
+    an authentic-ARPACK (scipy eigsh shift-invert) run on the same
+    matrix for set-vs-set parity.
+
+HBM budget at g=243 (f64 stored as hi/lo f32 pairs on the v5e; the
+row-major (ncv, n) basis pads only the n axis — see docs/SCALING.md):
+V 4.59 GB + DIA A 0.80 GB + MG hierarchy ~0.95 GB + ~6 n-vector temps
+0.7 GB + locked block (20, n) 2.30 GB/round => ~9.4 GB peak in the
+step program, within the 15.75 GB chip. The round-3 OOM was the
+(n, ncv) layout's 3.2x tile padding (two padded remat copies alone =
+13.7 GB).
 
 Stages through g to bound worker risk; one JSON line per stage.
 Usage: python scripts/tpu_northstar_100m.py [g ...]   (default 64 243)
@@ -84,7 +99,40 @@ def spmv_throughput(op, v0, nnz, k_lo=10, k_hi=210):
     return nnz / dt, dt
 
 
-def run(g: int, k: int = 20, ncv: int = 40):
+def prefix_captured(vals, lam, atol=1e-8):
+    """Length of the multiplicity-counted smallest prefix captured."""
+    prefix = 0
+    for i, v in enumerate(np.sort(np.asarray(vals))):
+        if i < len(lam) and abs(v - lam[i]) < atol:
+            prefix = i + 1
+        else:
+            break
+    return prefix
+
+
+def arpack_reference(A, k, ncv, lam):
+    """Authentic ARPACK (scipy eigsh shift-invert) on the same matrix:
+    the parity baseline for multiplicity capture."""
+    import scipy.sparse.linalg as spla
+
+    t0 = time.perf_counter()
+    w = spla.eigsh(
+        A,
+        k=k,
+        sigma=0.0,
+        which="LM",
+        ncv=ncv,
+        tol=1e-10,
+        return_eigenvectors=False,
+        v0=SimpleRandom(0).random_vec(A.shape[0]),
+    )
+    return {
+        "arpack_wall_s": round(time.perf_counter() - t0, 2),
+        "arpack_prefix_captured": prefix_captured(np.sort(w), lam),
+    }
+
+
+def run(g: int, k: int = 20, ncv: int = 40, locked: bool = True):
     import jax.numpy as jnp
 
     A = lap3d(g)
@@ -102,7 +150,17 @@ def run(g: int, k: int = 20, ncv: int = 40):
     eigs.set_matvec_granularity(True)
     eigs.init(v0)
     t0 = time.perf_counter()
-    nconv = eigs.compute(st.SortRule.LargestMagn, maxit=60, tol=1e-10)
+    if locked:
+        nconv = eigs.compute_locked(
+            st.SortRule.LargestMagn,
+            maxit=60,
+            tol=1e-10,
+            sorting=st.SortRule.SmallestAlge,
+            want=st.SortRule.SmallestAlge,
+            max_rounds=3,
+        )
+    else:
+        nconv = eigs.compute(st.SortRule.LargestMagn, maxit=60, tol=1e-10)
     t_solve = time.perf_counter() - t0
 
     vals = np.sort(np.asarray(eigs.eigenvalues()))
@@ -117,28 +175,17 @@ def run(g: int, k: int = 20, ncv: int = 40):
         "solve_s": round(t_solve, 2),
         "nconv": int(nconv),
         "info": str(eigs.info()),
+        "locking_certified": eigs.certified() if locked else None,
         "niter": eigs.num_iterations(),
         "nops": eigs.num_operations(),
     }
     if len(vals):
-        # The 3-D Laplacian spectrum is highly degenerate (permutation
-        # multiplicities); restarted Lanczos — ours, ARPACK's and
-        # Spectra's alike — may resolve fewer copies of a multiple
-        # eigenvalue than exist and continue up the spectrum. Report
-        # (a) the error of each computed value against the NEAREST
-        # analytic eigenvalue (are they true eigenvalues?), and (b) how
-        # long a prefix of the multiplicity-counted smallest list was
-        # captured exactly.
         lam = analytic_smallest(g, len(vals) + 8)
         nearest = np.abs(vals[:, None] - lam[None, :]).min(axis=1)
         out["eval_err_nearest_analytic"] = float(nearest.max())
-        prefix = 0
-        for i, v in enumerate(vals):
-            if abs(v - lam[i]) < 1e-8:
-                prefix = i + 1
-            else:
-                break
-        out["smallest_prefix_captured"] = prefix
+        out["smallest_prefix_captured"] = prefix_captured(vals, lam)
+        if g <= 64:
+            out.update(arpack_reference(A, k, ncv, lam))
     print(json.dumps(out), flush=True)
     return out
 
