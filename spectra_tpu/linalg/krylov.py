@@ -416,21 +416,34 @@ def _step_selective(arnop, state: KrylovState, i, w_prev, w_cur, force):
     w = arnop.perform_op(v)
     nops = nops + 1
 
+    f, beta, H, w_cur, w_new, force_next = _post_op_selective(
+        arnop, V, state.H, v, w, h_sub, i, w_prev, w_cur, force, restarted
+    )
+    new_state = KrylovState(
+        V=V, H=H, f=f, beta=beta, k=jnp.asarray(i + 1, jnp.int32),
+        nops=nops, key=state.key,
+    )
+    return new_state, w_cur, w_new, force_next
+
+
+def _post_op_selective(arnop, V, H0, v, w, h_sub, i, w_prev, w_cur, force,
+                       restarted):
+    """Everything after ``w = A v`` on the selective path: three-term
+    recurrence, omega-recurrence estimate, conditional DGKS. Shared
+    verbatim by the fused :func:`_step_selective` and the split-program
+    stepped path (:func:`split_step_finish_selective`)."""
     m, n = V.shape
     dtype = V.dtype
     rdtype = dtypes.real_dtype(dtype)
     eps = jnp.asarray(dtypes.eps(dtype), rdtype)
-    eps_sqrt = jnp.sqrt(eps)
     near_0 = jnp.asarray(dtypes.near_zero(dtype), rdtype)
 
-    f, beta, H = _lanczos_coeffs(arnop, V, state.H, v, w, h_sub, i)
+    f, beta, H = _lanczos_coeffs(arnop, V, H0, v, w, h_sub, i)
 
     # Trigger at sqrt(eps/m) (PROPACK's delta), not sqrt(eps): the m
     # accumulated omega-level components perturb Ritz values jointly,
     # so the per-column budget shrinks with the basis size.
-    delta = jnp.sqrt(
-        jnp.asarray(dtypes.eps(dtype), dtypes.real_dtype(dtype)) / m
-    )
+    delta = jnp.sqrt(eps / m)
 
     # --- omega recurrence --------------------------------------------
     # beta_i <v_{i+1}, v_j> = <v_i, A v_j> - alpha_i <v_i, v_j>
@@ -478,12 +491,7 @@ def _step_selective(arnop, state: KrylovState, i, w_prev, w_cur, force):
     # Parlett-Scott: a triggered re-orthogonalization also forces one on
     # the following step (but a forced one does not cascade).
     force_next = need & (~force)
-
-    new_state = KrylovState(
-        V=V, H=H, f=f, beta=beta, k=jnp.asarray(i + 1, jnp.int32),
-        nops=nops, key=state.key,
-    )
-    return new_state, w_cur, w_new, force_next
+    return f, beta, H, w_cur, w_new, force_next
 
 
 def _factorize_selective(arnop, state: KrylovState, from_k) -> KrylovState:
@@ -701,6 +709,44 @@ def split_step_finish(
         nops=nops + nops_inc,
         key=key,
     )
+
+
+def split_step_finish_selective(
+    arnop, state: KrylovState, w, i, w_prev, w_cur, force, restarted, nops_inc
+):
+    """Selective-reorth twin of :func:`split_step_finish` (op-free):
+    the post-operator half of :func:`_step_selective` — three-term
+    recurrence, omega-recurrence orthogonality estimate, and the DGKS
+    projection only when the estimate crosses the PROPACK trigger.
+    Returns ``(state, w_prev', w_cur', force')`` with the omega carry
+    the host loop threads between steps; same arithmetic as the fused
+    selective path so stepped and compiled drivers agree bit-for-bit.
+    """
+    V, H0, _, beta0, _, nops, key = state
+    rdtype = dtypes.real_dtype(V.dtype)
+    h_sub = jnp.where(
+        restarted, jnp.asarray(0.0, rdtype), beta0
+    ).astype(V.dtype)
+    v = V[i]
+    f, beta, H, w_cur, w_new, force_next = _post_op_selective(
+        arnop, V, H0, v, w, h_sub, i, w_prev, w_cur, force, restarted
+    )
+    new_state = KrylovState(
+        V=V, H=H, f=f, beta=beta, k=jnp.asarray(i + 1, jnp.int32),
+        nops=nops + nops_inc, key=key,
+    )
+    return new_state, w_cur, w_new, force_next
+
+
+def split_omega_seed(m: int, from_k, dtype):
+    """The omega carry that re-enters the selective loop after init or
+    restart compression — matches `_factorize_selective`'s entry state
+    (assumed-semiorthogonal basis, unconditional first reorth)."""
+    rdtype = dtypes.real_dtype(jnp.dtype(dtype))
+    seed = 0.25 * jnp.sqrt(jnp.asarray(dtypes.eps(dtype), rdtype))
+    col = jnp.arange(m)
+    w0 = jnp.where(col < from_k, seed, jnp.asarray(0.0, rdtype))
+    return w0, w0, jnp.asarray(True)
 
 
 def split_init_normalize(arnop, v0, vraw):

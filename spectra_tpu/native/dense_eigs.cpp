@@ -598,4 +598,19 @@ int spectra_dense_eigs(const double* A, int n, int nev, int ncv, int rule,
   return 0;
 }
 
+// Conformance probe: the dsaup2/dnaup2 nev-adjust rules on raw
+// (wr, wi, est) vectors, so tests can assert this implementation, the
+// compiled-herm and the compiled-gen Python twins agree on identical
+// inputs (the rules are triplicated by design — each driver owns its
+// restart loop; reference: HermEigsBase.h:178-202, GenEigsBase.h:245-277).
+int spectra_nev_adjusted(const double* wr, const double* wi,
+                         const double* est, int nconv, int nev, int ncv,
+                         int sym) {
+  Ritz rz;
+  rz.wr.assign(wr, wr + ncv);
+  rz.wi.assign(wi, wi + ncv);
+  rz.est.assign(est, est + ncv);
+  return nev_adjusted(rz, nconv, nev, ncv, sym != 0);
+}
+
 }  // extern "C"

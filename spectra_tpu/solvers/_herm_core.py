@@ -379,6 +379,12 @@ _set_column = jax.jit(krylov.split_set_column, donate_argnums=(0,))
 _step_finish = jax.jit(
     krylov.split_step_finish, static_argnames=("mode",), donate_argnums=(1, 2)
 )
+_step_finish_sel = jax.jit(
+    krylov.split_step_finish_selective, donate_argnums=(1, 2)
+)
+_omega_seed = jax.jit(
+    krylov.split_omega_seed, static_argnames=("m", "dtype")
+)
 _init_normalize = jax.jit(krylov.split_init_normalize)
 _init_finish = jax.jit(krylov.split_init_finish, static_argnames=("m",))
 
@@ -393,12 +399,11 @@ def stepped_init_split(arnop, v0, key, *, m: int):
     return _init_finish(arnop, v, w, key, m=m)
 
 
-def stepped_step_split(arnop, state, i: int, *, mode: str):
-    """Split-program twin of :func:`stepped_step`: one
-    ``stepped_apply`` execution in the common case; breakdown
-    expansion (rare) adds at most one more. The host decides the
-    breakdown branch from the synced ||f|| — same rules, same PRNG
-    stream, same arithmetic as the fused ``krylov._step``."""
+def _stepped_pre(arnop, state, i: int, mode: str):
+    """Shared pre-operator half of the split step: host breakdown
+    decision (from the synced ||f||), expansion corrections, column
+    write, and THE operator application. Same rules, same PRNG stream,
+    same arithmetic as the fused ``krylov._pre_op``."""
     import numpy as np
 
     dtype = state.V.dtype
@@ -430,8 +435,42 @@ def stepped_step_split(arnop, state, i: int, *, mode: str):
 
     state, v = _set_column(state, i)
     w = stepped_apply(arnop, v)
+    return state, w, restart, nops_inc
+
+
+def stepped_step_split(arnop, state, i: int, *, mode: str):
+    """Split-program twin of :func:`stepped_step`: one
+    ``stepped_apply`` execution in the common case; breakdown
+    expansion (rare) adds at most one more."""
+    state, w, restart, nops_inc = _stepped_pre(arnop, state, i, mode)
     return _step_finish(
         arnop, state, w, i, jnp.asarray(restart), nops_inc, mode=mode
+    )
+
+
+def stepped_step_split_selective(arnop, state, i: int, omega):
+    """Selective-reorth split step: same operator/breakdown half as
+    :func:`stepped_step_split`, then the conditional-DGKS finish.
+    ``omega = (w_prev, w_cur, force)`` is the host-threaded carry from
+    :func:`stepped_omega_seed`; returns ``(state, omega')``."""
+    state, w, restart, nops_inc = _stepped_pre(arnop, state, i, "lanczos")
+    w_prev, w_cur, force = omega
+    state, w_prev, w_cur, force = _step_finish_sel(
+        arnop, state, w, i, w_prev, w_cur, force,
+        jnp.asarray(restart), nops_inc,
+    )
+    return state, (w_prev, w_cur, force)
+
+
+def stepped_omega_seed(state, from_k: int):
+    """Fresh omega carry on (re)entry at column ``from_k`` — matches
+    ``krylov._factorize_selective``'s loop entry."""
+    m = state.V.shape[0]
+    rdtype = jnp.dtype(dtypes.real_dtype(state.V.dtype))
+    return _omega_seed(
+        m=m,
+        from_k=jnp.asarray(max(int(from_k), 1), jnp.int32),
+        dtype=str(rdtype),
     )
 
 

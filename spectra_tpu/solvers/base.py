@@ -23,14 +23,29 @@ from spectra_tpu.util.rng import SimpleRandom
 from spectra_tpu.util.selection import SortRule
 
 
+#: Leaves above this byte size stay on the device after compute(): at
+#: the 100M-nnz scale the final basis is ~4.6 GB and fetching it
+#: through a tunneled runtime costs minutes for data most callers
+#: never touch (eigenvalues and the ncv-sized Ritz vectors are enough;
+#: eigenvectors()/compute_locked() compute with the device copy).
+_FETCH_LIMIT_BYTES = 1 << 28
+
+
 def fetch_result_leaf(x):
     """Bring a result leaf to host numpy. Under multi-process execution
     replicated leaves (eigenvalues, counters) are fetched from the local
     shard; row-sharded leaves (eigenvector blocks) stay as global jax
-    Arrays — every process sees the same accessor values either way."""
+    Arrays — every process sees the same accessor values either way.
+    Very large leaves (the n-sized basis at extreme scale) also stay on
+    device; accessors handle both representations."""
     if isinstance(x, jax.Array) and not x.is_fully_addressable:
         if x.is_fully_replicated:
             return np.asarray(x.addressable_data(0))
+        return x
+    if (
+        isinstance(x, jax.Array)
+        and x.size * x.dtype.itemsize > _FETCH_LIMIT_BYTES
+    ):
         return x
     return np.asarray(x)
 
@@ -96,9 +111,11 @@ class HermEigsBase:
         precision). Cuts the per-step cost to the matvec + two
         n-vector reductions on the vast majority of steps; use when
         the projections dominate (large n, cheap operator — e.g. the
-        host-factored 1M-node shift-invert). Ignored (full reorth) by
-        structured operators and the matvec-granularity stepped
-        driver."""
+        host-factored 1M-node shift-invert). Honored by both the
+        compiled and the matvec-granularity stepped drivers; ignored
+        (full reorth) by structured operators and under thick restarts
+        (the arrowhead H defeats the omega recurrence — see
+        ``_eff_mode``)."""
         if method not in ("full", "selective"):
             raise ValueError("reorth method must be 'full' or 'selective'")
         self._reorth = method
@@ -325,6 +342,15 @@ class HermEigsBase:
         from spectra_tpu.solvers import _herm_core as core
 
         mode = type(self)._mode
+        # Selective reorth in the stepped driver: the omega recurrence
+        # is O(ncv) algebra inside the op-free finish program, and the
+        # host loop threads the carry. Exactly the regime this mode was
+        # built for (n >= 1e6 where the two (ncv, n) DGKS projections
+        # rival the operator cost) runs stepped, so honor it here.
+        selective = (
+            self._eff_mode() == "lanczos_selective"
+            and not self._arnop.has_structure
+        )
         fixed = dict(
             nev=self._nev,
             ncv=self._ncv,
@@ -362,6 +388,25 @@ class HermEigsBase:
                 jax.device_get(state.beta)
             return state
 
+        def run_columns(state, from_k):
+            """Factorize columns [from_k, ncv) with the active reorth
+            policy (full DGKS, or omega-gated selective)."""
+            omega = (
+                core.stepped_omega_seed(state, from_k) if selective else None
+            )
+            for i in range(int(from_k), self._ncv):
+                idx = jnp.asarray(i, jnp.int32)
+                if selective:
+                    state, omega = core.stepped_step_split_selective(
+                        self._arnop, state, idx, omega
+                    )
+                else:
+                    state = core.stepped_step_split(
+                        self._arnop, state, idx, mode=mode
+                    )
+                state = sync(state)
+            return state
+
         if self._resume_carry is not None:
             # Honor load_checkpoint(): continue from the saved carry
             # instead of refactorizing from v0 (the large-n regime this
@@ -374,12 +419,7 @@ class HermEigsBase:
                     self._arnop, self._v0, jax.random.PRNGKey(0), m=self._ncv
                 )
             )
-            for i in range(1, self._ncv):
-                state = sync(
-                    core.stepped_step_split(
-                        self._arnop, state, jnp.asarray(i, jnp.int32), mode=mode
-                    )
-                )
+            state = run_columns(state, 1)
             carry = core.stepped_extract(
                 state, tol_arr, jnp.asarray(0, jnp.int32), **fixed
             )
@@ -403,12 +443,7 @@ class HermEigsBase:
                 self._arnop, carry.state, carry.ritz_val, carry.ritz_est,
                 carry.nconv, **fixed,
             )
-            for i in range(int(k_resume), self._ncv):
-                state = sync(
-                    core.stepped_step_split(
-                        self._arnop, state, jnp.asarray(i, jnp.int32), mode=mode
-                    )
-                )
+            state = run_columns(state, int(jax.device_get(k_resume)))
             restarts += 1
             carry = core.stepped_extract(
                 state, tol_arr, jnp.asarray(restarts, jnp.int32), **fixed
@@ -429,8 +464,9 @@ class HermEigsBase:
         BEFORE any _vector_transform back-solve)."""
         res = self._result
         small = np.asarray(res.vectors_small)[:, np.asarray(res.conv)]
-        V = res.V
-        return jnp.asarray(small.T.astype(V.dtype) @ np.asarray(V))
+        # Device-side contraction: V may be a (large) device-resident
+        # array — never round-trip it through the host.
+        return jnp.asarray(small.T).astype(res.V.dtype) @ jnp.asarray(res.V)
 
     def compute_locked(
         self,
@@ -530,18 +566,18 @@ class HermEigsBase:
 
         take = argsort_np(want, vals)[: self._nev]
         wvals = vals[take]
-        WX = np.asarray(X)[take]
+        WX = X[jnp.asarray(take)]  # device-side row gather
         order = argsort_np(sorting, wvals)
         nconv = len(wvals)
         res = self._result._replace(
             values=wvals[order],
-            vectors_small=np.eye(nconv, dtype=WX.dtype)[:, order],
+            vectors_small=np.eye(nconv, dtype=np.dtype(WX.dtype))[:, order],
             conv=np.ones(nconv, bool),
             nconv=np.int32(nconv),
             niter=np.int32(niter),
             nops=np.int64(nops),
             V=WX,
-            f=np.zeros((self._n,), WX.dtype),
+            f=np.zeros((self._n,), np.dtype(WX.dtype)),
         )
         return self._finish_result(res)
 
