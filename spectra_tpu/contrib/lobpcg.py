@@ -18,6 +18,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from spectra_tpu.linalg.jacobi import eigh_accurate
+
 from spectra_tpu.util.compinfo import CompInfo
 
 
@@ -107,7 +109,7 @@ class LOBPCGSolver:
         # Rank-revealing recovery: rotate into the Gram eigenbasis
         # (ascending — worst-conditioned directions first), replace the
         # numerically-null ones with deterministic random guards.
-        s, U = jnp.linalg.eigh(G)
+        s, U = eigh_accurate(G)
         n = X.shape[0]
         thresh = jnp.abs(s[-1]) * 1e-12
         k_bad = int(jnp.sum(~(s > thresh)))
@@ -153,7 +155,7 @@ class LOBPCGSolver:
         # Initial Rayleigh-Ritz on span(X)
         H = jnp.conj(X).T @ AX
         H = 0.5 * (H + jnp.conj(H).T)
-        theta, C = jnp.linalg.eigh(H)
+        theta, C = eigh_accurate(H)
         X, AX = X @ C, AX @ C
         P = None
         AP = None
@@ -226,13 +228,13 @@ class LOBPCGSolver:
                 AX = self._A(X)
                 H = jnp.conj(X).T @ AX
                 H = 0.5 * (H + jnp.conj(H).T)
-                theta, C = jnp.linalg.eigh(H)
+                theta, C = eigh_accurate(H)
                 X, AX = X @ C, AX @ C
                 continue
             Linv = jnp.linalg.inv(L)
             Aw = Linv @ gramA @ jnp.conj(Linv).T
             Aw = 0.5 * (Aw + jnp.conj(Aw).T)
-            w, Z = jnp.linalg.eigh(Aw)
+            w, Z = eigh_accurate(Aw)
             C = jnp.conj(Linv).T @ Z[:, :m]
             theta = w[:m]
 

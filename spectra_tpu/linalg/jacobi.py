@@ -1,0 +1,163 @@
+"""Accurate symmetric eigendecomposition for the TPU's emulated-f64.
+
+``jnp.linalg.eigh`` on the TPU backend computes f64 eigenVALUES to
+~1e-13 but eigenVECTORS only to ~1e-7 residual (measured: 40x40 random
+symmetric, residual 7.8e-8; the tridiagonal embedding used by the
+Lanczos Ritz extraction shows the same floor). That noise enters the
+solvers through the convergence estimates (|last row| of the
+eigenvector matrix), thick-restart basis compression ``V <- Y^T V``,
+and final Ritz-vector assembly — and was the dominant error of every
+TPU-runtime eigensolve (observed: 1.4e-7 eigenvalue error and 45 vs 8
+restarts on the g=16 3-D Laplacian shift-invert vs CPU).
+
+The fix is the classic parallel-ordered cyclic Jacobi method: all
+arithmetic is elementwise VPU f64 (accurate on TPU — measured 4e-15 on
+the same probes), rotations are applied to m/2 disjoint pairs at a
+time via a round-robin tournament schedule, and convergence is
+quadratic (off-diagonal norm squares each sweep). For the ncv-sized
+projected problems this library solves (m <= ~100) the cost is
+negligible against one operator application at scale.
+
+Reference counterpart: the reference relies on LAPACK-grade host
+eigensolvers throughout (e.g. LinAlg/TridiagEigen.h); this module is
+what makes that accuracy contract hold on the TPU runtime.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=None)
+def _round_robin(m: int) -> np.ndarray:
+    """Tournament schedule: (m-1) rounds of m/2 disjoint pairs covering
+    every (p, q) pair exactly once (m even)."""
+    players = list(range(m))
+    rounds = []
+    rest = players[1:]
+    for _ in range(m - 1):
+        cur = [players[0]] + rest
+        pairs = [
+            tuple(sorted((cur[i], cur[m - 1 - i]))) for i in range(m // 2)
+        ]
+        rounds.append(sorted(pairs))
+        rest = rest[-1:] + rest[:-1]
+    return np.asarray(rounds, dtype=np.int32)  # (m-1, m/2, 2)
+
+
+def _apply_round(A, V, P, Q):
+    """One parallel rotation set: annihilate A[p, q] for the disjoint
+    pairs (P, Q); A <- J^T A J, V <- V J (Golub & Van Loan 8.4)."""
+    rdtype = A.dtype
+    app = A[P, P]
+    aqq = A[Q, Q]
+    apq = A[P, Q]
+    # Stable rotation: tau = (aqq - app) / (2 apq),
+    # t = sign(tau)/(|tau| + sqrt(1 + tau^2)). Pivots already at the
+    # local eps floor are skipped (threshold-Jacobi); besides costing
+    # nothing, the skip bounds |tau| <= 1/eps, and tau^2 then cannot
+    # overflow — the TPU's float-float f64 emulation turns the inf of
+    # an overflowed square into NaN (observed with |apq| ~ 1e-20
+    # against |diff| ~ 10).
+    eps = jnp.asarray(np.finfo(np.dtype(rdtype)).eps, rdtype)
+    live = jnp.abs(apq) > 0.5 * eps * (jnp.abs(app) + jnp.abs(aqq))
+    denom = jnp.where(live, 2.0 * apq, 1.0)
+    tau = jnp.where(live, (aqq - app) / denom, 0.0)
+    t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+    c = 1.0 / jnp.sqrt(1.0 + t * t)
+    s = t * c
+    c = jnp.where(live, c, 1.0)
+    s = jnp.where(live, s, 0.0)
+
+    # Rows: [Ap; Aq] <- [[c, -s], [s, c]] [Ap; Aq]
+    Ap = A[P, :]
+    Aq = A[Q, :]
+    A = (
+        A.at[P, :].set(c[:, None] * Ap - s[:, None] * Aq)
+        .at[Q, :].set(s[:, None] * Ap + c[:, None] * Aq)
+    )
+    # Columns: [Ap, Aq] <- [Ap, Aq] [[c, s], [-s, c]]
+    Ap = A[:, P]
+    Aq = A[:, Q]
+    A = (
+        A.at[:, P].set(c[None, :] * Ap - s[None, :] * Aq)
+        .at[:, Q].set(s[None, :] * Ap + c[None, :] * Aq)
+    )
+    # Exact zero on the annihilated entries (symmetric pair).
+    zero = jnp.zeros_like(app)
+    A = A.at[P, Q].set(zero).at[Q, P].set(zero)
+    Vp = V[:, P]
+    Vq = V[:, Q]
+    V = (
+        V.at[:, P].set(c[None, :] * Vp - s[None, :] * Vq)
+        .at[:, Q].set(s[None, :] * Vp + c[None, :] * Vq)
+    )
+    return A, V
+
+
+def jacobi_eigh(A, max_sweeps: int = 30):
+    """Eigendecomposition of a real symmetric matrix by parallel cyclic
+    Jacobi: returns ``(eigenvalues ascending, eigenvectors as columns)``
+    — drop-in for ``jnp.linalg.eigh`` with full f64 accuracy on the
+    TPU's emulated-f64 backend."""
+    A = jnp.asarray(A)
+    m = A.shape[0]
+    if m == 1:
+        return jnp.real(A[0, :1]), jnp.ones_like(A)
+    rdtype = A.dtype
+    mp = m + (m % 2)  # pad odd sizes with a decoupled zero row/col
+    if mp != m:
+        A = jnp.pad(A, ((0, 1), (0, 1)))
+    sched = jnp.asarray(_round_robin(mp))  # (mp-1, mp/2, 2)
+    eps = jnp.asarray(np.finfo(np.dtype(rdtype)).eps, rdtype)
+    V0 = jnp.eye(mp, dtype=rdtype)
+
+    eye = jnp.eye(mp, dtype=jnp.bool_)
+
+    def off_norm(M):
+        # Sum the off-diagonal entries directly: the textbook
+        # fro^2 - diag^2 form cancels catastrophically once off(M)
+        # reaches sqrt(eps)*fro and would stall the sweep loop early.
+        O = jnp.where(eye, 0.0, M)
+        return jnp.sqrt(jnp.sum(O * O))
+
+    fro = jnp.maximum(jnp.sqrt(jnp.sum(A * A)), eps)
+
+    def sweep(carry):
+        M, V, it = carry
+
+        def one_round(r, mv):
+            M_, V_ = mv
+            return _apply_round(M_, V_, sched[r, :, 0], sched[r, :, 1])
+
+        M, V = jax.lax.fori_loop(0, mp - 1, one_round, (M, V))
+        return M, V, it + 1
+
+    def cont(carry):
+        M, _, it = carry
+        return (off_norm(M) > 4.0 * eps * fro) & (it < max_sweeps)
+
+    A, V, _ = jax.lax.while_loop(
+        cont, sweep, (A, V0, jnp.asarray(0, jnp.int32))
+    )
+    evals = jnp.diagonal(A)[:m]
+    V = V[:m, :m]
+    order = jnp.argsort(evals)
+    return evals[order], V[:, order]
+
+
+def eigh_accurate(A):
+    """``jnp.linalg.eigh`` routed around the TPU emulated-f64
+    eigenvector inaccuracy: Jacobi on (TPU, wide dtype), XLA's native
+    eigh everywhere else (LAPACK-grade on CPU, native f32 on TPU).
+    Same trace-time routing rule as :mod:`spectra_tpu.ops.gemv`."""
+    A = jnp.asarray(A)
+    if (
+        jax.default_backend() == "tpu"
+        and jnp.dtype(A.dtype).itemsize >= 8
+        and not jnp.issubdtype(A.dtype, jnp.complexfloating)
+    ):
+        return jacobi_eigh(A)
+    return jnp.linalg.eigh(A)

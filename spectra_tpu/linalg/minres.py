@@ -16,6 +16,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from spectra_tpu.ops.gemv import vec_dot
+
 
 class _State(NamedTuple):
     x: jax.Array
@@ -71,7 +73,7 @@ def minres(matvec, b, rtol=1e-12, maxiter=None):
     def body(s: _State):
         # Lanczos step
         z = matvec(s.v) - s.beta * s.v_old
-        alpha = jnp.vdot(s.v, z)
+        alpha = vec_dot(s.v, z)
         z = z - alpha * s.v
         beta_new = jnp.linalg.norm(z)
         v_new = z / jnp.where(beta_new > 0, beta_new, 1.0)

@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from spectra_tpu.linalg.jacobi import eigh_accurate
 from spectra_tpu.util.selection import SortRule, argsort
 
 
@@ -30,7 +31,7 @@ def compute_eigen_pairs(V, W) -> RitzPairs:
     H_proj = jnp.conj(V).T @ W
     # Symmetrize: V^H A V is Hermitian up to rounding.
     H_proj = 0.5 * (H_proj + jnp.conj(H_proj).T)
-    values, small = jnp.linalg.eigh(H_proj)
+    values, small = eigh_accurate(H_proj)
     vectors = V @ small
     residues = W @ small - vectors * values[None, :]
     return RitzPairs(

@@ -159,4 +159,6 @@ def tridiag_eigen(diag, subdiag):
     for the reference's sequential implicit QL/QR sweeps
     (reference: LinAlg/TridiagEigen.h).
     """
-    return jnp.linalg.eigh(tridiag_to_dense(diag, subdiag))
+    from spectra_tpu.linalg.jacobi import eigh_accurate
+
+    return eigh_accurate(tridiag_to_dense(diag, subdiag))

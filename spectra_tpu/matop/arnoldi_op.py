@@ -17,7 +17,7 @@ partial reduction plus one psum over the row-partition axis.
 
 import jax.numpy as jnp
 
-from spectra_tpu.ops.gemv import basis_proj
+from spectra_tpu.ops.gemv import basis_proj, vec_dot
 
 from spectra_tpu.util.pytree import pytree_dataclass
 
@@ -65,7 +65,7 @@ class ArnoldiOp:
 
     def inner_product(self, x, y):
         """<x, y> = x^H B y."""
-        return jnp.vdot(x, self.apply_b(y))
+        return vec_dot(x, self.apply_b(y))
 
     def adjoint_product(self, X, y):
         """<x_i, y>_B for a row-major basis block X (m, n) — the

@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from spectra_tpu.linalg import krylov
+from spectra_tpu.linalg.jacobi import eigh_accurate
 from spectra_tpu.ops.gemv import basis_apply_block
 from spectra_tpu.linalg.tridiag import (
     tridiag_qr,
@@ -63,7 +64,7 @@ def _retrieve_ritzpair(H, selection: SortRule, nev: int, full_h: bool = False):
     """
     if full_h:
         Hr = jnp.real(H)
-        evals, evecs = jnp.linalg.eigh(0.5 * (Hr + Hr.T))
+        evals, evecs = eigh_accurate(0.5 * (Hr + Hr.T))
     else:
         d = jnp.real(jnp.diagonal(H))
         e = jnp.real(jnp.diagonal(H, offset=-1))
@@ -127,7 +128,7 @@ def _restart_thick_compress(arnop, state, k_new, ncv: int, selection: SortRule):
     H = state.H
     Hreal = jnp.real(H)
     Hfull = jnp.triu(Hreal) + jnp.triu(Hreal, 1).T
-    evals, Y = jnp.linalg.eigh(Hfull)
+    evals, Y = eigh_accurate(Hfull)
     ind = argsort(selection, evals)
     # Keep the wanted k_new (mask the rest; keep static shapes).
     col = jnp.arange(ncv)

@@ -42,6 +42,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from spectra_tpu.linalg.jacobi import eigh_accurate
 from spectra_tpu.linalg.orthogonalization import qr_orthogonalisation
 from spectra_tpu.util.selection import SortRule, sort_target
 
@@ -101,7 +102,7 @@ def _rayleigh_ritz(V, W, size, selection: SortRule):
     pad = j >= size
     cap = 2.0 * jnp.max(jnp.abs(P)) + 1.0
     B = P + jnp.diag(jnp.where(pad, cap * (1.0 + j), 0.0).astype(P.dtype))
-    w, s = jnp.linalg.eigh(B)
+    w, s = eigh_accurate(B)
     key = sort_target(selection, w)
     key = jnp.where(pad, jnp.inf, key)
     ind = jnp.argsort(key, stable=True)
