@@ -305,6 +305,56 @@ def _bench_gen_sparse():
     }
 
 
+def _bench_davidson():
+    """Config #5's second half: DavidsonSymEigsSolver at scale
+    (reference: DavidsonSymEigsSolver.h:31-89). Davidson/DPR is built
+    for diagonally dominant operators, so the at-scale problem is a
+    1M-row banded matrix with a spread diagonal (the quantum-chemistry
+    regime the method comes from), k=10 largest, vs host ARPACK."""
+    import jax.numpy as jnp
+
+    import spectra_tpu as st
+    from spectra_tpu.util.rng import SimpleRandom
+
+    n = 1_000_000
+    k = 10
+    d = np.linspace(1.0, 100.0, n)
+    off1 = np.full(n, 0.5)
+    off2 = np.full(n, 0.25)
+    A = sps.diags(
+        [off2, off1, d, off1, off2], [-1000, -1, 0, 1, 1000],
+        shape=(n, n), format="csr",
+    )
+    op = st.SparseSymMatProd.from_full(A)
+    solver = st.DavidsonSymEigsSolver(op, nev=k)
+    t0 = time.perf_counter()
+    nconv = solver.compute(st.SortRule.LargestAlge, maxit=100, tol=1e-9)
+    wall = time.perf_counter() - t0
+    vals = np.sort(np.asarray(solver.eigenvalues()))[::-1][:k]
+
+    from scipy.sparse.linalg import eigsh
+
+    t0 = time.perf_counter()
+    w = np.sort(
+        eigsh(
+            A, k=k, which="LA", tol=1e-9,
+            v0=SimpleRandom(0).random_vec(n),
+            return_eigenvectors=False,
+        )
+    )[::-1]
+    t_arpack = time.perf_counter() - t0
+    return {
+        "n": n,
+        "nnz": int(A.nnz),
+        "nconv": int(nconv),
+        "wall_s": wall,
+        "niter": solver.num_iterations(),
+        "arpack_s": t_arpack,
+        "speedup": t_arpack / wall,
+        "eval_abs_err_vs_arpack": float(np.abs(vals - w).max()),
+    }
+
+
 def main():
     fallback = bool(os.environ.get("SPECTRA_TPU_BENCH_FORCE_CPU")) or (
         not _accelerator_alive()
@@ -409,6 +459,11 @@ def main():
     except Exception as err:
         _keep_stale("gen_sparse_k6", err)
     _flush()
+    try:
+        details["davidson_1M_k10"] = _bench_davidson()
+    except Exception as err:
+        _keep_stale("davidson_1M_k10", err)
+    _flush()
 
     # Shift-invert at n=1e6 LAST: on the remote accelerator a long
     # inner-solve execution can crash the worker (recovery takes
@@ -464,6 +519,39 @@ def main():
             }
         except Exception as err:
             _keep_stale("shift_invert_1M_k10", err)
+    _flush()
+
+    # Config #5 at scale: generalized shift-invert A x = lambda B x at
+    # n = 1M with the multigrid inner solve, fully on-device, vs host
+    # ARPACK generalized eigsh (reference: SymGEigsShiftSolver.h:147-205).
+    # Subprocess + timeout for the same worker-crash containment as the
+    # standard shift-invert above.
+    try:
+        out = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(
+                    os.path.dirname(__file__),
+                    "scripts",
+                    "tpu_generalized_1m.py",
+                ),
+                "1000",
+            ],
+            timeout=3000,
+            capture_output=True,
+            text=True,
+        )
+        rec = None
+        for line in out.stdout.splitlines():
+            if line.startswith("{"):
+                rec = json.loads(line)
+        if rec is None:
+            raise RuntimeError(
+                f"no result line; stderr tail: {out.stderr[-500:]}"
+            )
+        details["generalized_1M_k10"] = rec
+    except Exception as err:
+        _keep_stale("generalized_1M_k10", err)
     _flush()
 
 
