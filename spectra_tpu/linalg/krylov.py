@@ -566,9 +566,10 @@ def truncate_schur(arnop, state: KrylovState, U, T_new, k_new) -> KrylovState:
     """
     V, _, f, beta, _, nops, key = state
     m = V.shape[0]
-    VU = basis_apply_block(V, U.astype(V.dtype))
     col = jnp.arange(m)
-    V_new = jnp.where((col < k_new)[:, None], VU, 0.0)
+    # Masked rotation (see compress): avoids a third (m, n) buffer.
+    Um = jnp.where(col[None, :] < k_new, U, 0.0).astype(V.dtype)
+    V_new = basis_apply_block(V, Um)
     keep = (col[:, None] < k_new) & (col[None, :] < k_new)
     H_masked = jnp.where(keep, T_new.astype(V.dtype), 0.0)
     return KrylovState(
@@ -593,14 +594,22 @@ def compress(arnop, state: KrylovState, Q, H_new, k_new) -> KrylovState:
     """
     V, _, f, _, _, nops, key = state
     m, n = V.shape
-    VQ = basis_apply_block(V, Q.astype(V.dtype))
+    col = jnp.arange(m)
+    # Fold the keep-mask into the rotation (zero the dropped COLUMNS of
+    # Q) instead of masking the (m, n) product afterwards: the masked
+    # where() forced a third ncv-by-n buffer next to V and VQ, which at
+    # the 100M-nnz scale (4.6 GB each) pushed the restart-compress
+    # program past the v5e HBM. The masked rotation writes exact zero
+    # rows directly; the single row VQ[k_new] that f_new needs is one
+    # extra n-vector.
+    Qm = jnp.where(col[None, :] < k_new, Q, 0.0).astype(V.dtype)
+    V_new = basis_apply_block(V, Qm)
 
     sigma = Q[m - 1, k_new - 1].astype(V.dtype)
-    f_new = f * sigma + VQ[k_new] * H_new[k_new, k_new - 1]
+    vq_k = basis_apply(V, jnp.take(Q, k_new, axis=1).astype(V.dtype))
+    f_new = f * sigma + vq_k * H_new[k_new, k_new - 1]
     beta_new = arnop.norm(f_new)
 
-    col = jnp.arange(m)
-    V_new = jnp.where((col < k_new)[:, None], VQ, 0.0)
     keep = (col[:, None] < k_new) & (col[None, :] < k_new)
     H_masked = jnp.where(keep, H_new, 0.0)
 

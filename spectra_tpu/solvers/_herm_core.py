@@ -136,9 +136,12 @@ def _restart_thick_compress(arnop, state, k_new, ncv: int, selection: SortRule):
     Yp = Y[:, keep_idx]
     theta = evals[keep_idx]
 
-    VY = basis_apply_block(state.V, Yp.astype(state.V.dtype))
-    keep_mask = (col < k_new)[:, None]
-    V_new = jnp.where(keep_mask, VY, 0.0)
+    # Masked rotation (see krylov.compress): zeroing the dropped
+    # columns of Yp before the rotation keeps the peak at two (ncv, n)
+    # buffers instead of three — the difference between fitting and
+    # OOMing the 100M-nnz restart on a single v5e.
+    Ypm = jnp.where((col < k_new)[None, :], Yp, 0.0)
+    V_new = basis_apply_block(state.V, Ypm.astype(state.V.dtype))
     # The arrow coupling s = beta * Y[m-1, kept] is not written here:
     # the full-projection step below rebuilds the column numerically.
     H_new = jnp.zeros_like(H)
