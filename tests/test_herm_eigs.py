@@ -161,3 +161,27 @@ def test_j_structured_factorization_invariants():
     lhs = E @ V
     rhs = V @ H + np.outer(f, np.eye(m)[-1])
     assert np.abs(lhs - rhs).max() < 1e-11
+
+
+def test_large_result_leaves_stay_on_device(monkeypatch):
+    # At extreme scale the final basis V is GBs; _finish_result keeps
+    # leaves above _FETCH_LIMIT_BYTES device-resident and the accessors
+    # (eigenvalues / eigenvectors / compute_locked) must work with the
+    # device copy (round-4 north-star requirement).
+    import jax
+
+    from spectra_tpu.solvers import base as base_mod
+
+    monkeypatch.setattr(base_mod, "_FETCH_LIMIT_BYTES", 1024)
+    monkeypatch.setenv("SPECTRA_TPU_DENSE_DRIVER", "jax")  # not native
+    rng = np.random.default_rng(0)
+    A = rng.uniform(size=(60, 60)) - 0.5
+    A = A + A.T
+    eigs = st.SymEigsSolver(st.DenseSymMatProd.create(A), nev=4, ncv=16)
+    eigs.init()
+    nconv = eigs.compute(st.SortRule.LargestMagn, tol=1e-10)
+    assert nconv == 4
+    assert isinstance(eigs._result.V, jax.Array)  # stayed on device
+    vals = np.asarray(eigs.eigenvalues())
+    X = np.asarray(eigs.eigenvectors())
+    assert np.abs(A @ X - X * vals[None, :]).max() <= 1e-9
