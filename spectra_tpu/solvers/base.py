@@ -465,8 +465,15 @@ class HermEigsBase:
         res = self._result
         small = np.asarray(res.vectors_small)[:, np.asarray(res.conv)]
         # Device-side contraction: V may be a (large) device-resident
-        # array — never round-trip it through the host.
-        return jnp.asarray(small.T).astype(res.V.dtype) @ jnp.asarray(res.V)
+        # array — never round-trip it through the host. Routed through
+        # the VPU sweep: the emulated-f64 MXU dot materializes an
+        # f32[8, ncv, n] slice tensor (18.4 GB at the 100M-nnz scale —
+        # rejected at compile).
+        from spectra_tpu.ops.gemv import basis_apply_block
+
+        return basis_apply_block(
+            jnp.asarray(res.V), jnp.asarray(small).astype(res.V.dtype)
+        )
 
     def compute_locked(
         self,
@@ -638,9 +645,18 @@ class HermEigsBase:
             small = small[:, : min(nvec, small.shape[1])]
         out_dtype = np.result_type(res.V.dtype, small.dtype)
         # V is (ncv, n) row-major; eigenvectors are columns of V^T S.
-        return self._vector_transform(
-            res.V.astype(out_dtype).T @ small.astype(out_dtype)
-        )
+        # Through the VPU sweep when V is device-resident f64 on TPU
+        # (the MXU emulation's slice tensor OOMs at extreme n).
+        if isinstance(res.V, jax.Array):
+            from spectra_tpu.ops.gemv import basis_apply_block
+
+            vecs = basis_apply_block(
+                jnp.asarray(res.V).astype(out_dtype),
+                jnp.asarray(small).astype(out_dtype),
+            ).T
+        else:
+            vecs = res.V.astype(out_dtype).T @ small.astype(out_dtype)
+        return self._vector_transform(vecs)
 
     def _vector_transform(self, vecs):
         """Hook mapping Ritz vectors of the transformed problem back to
