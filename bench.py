@@ -311,14 +311,19 @@ def _bench_davidson():
     for diagonally dominant operators, so the at-scale problem is a
     1M-row banded matrix with a spread diagonal (the quantum-chemistry
     regime the method comes from), k=10 largest, vs host ARPACK."""
-    import jax.numpy as jnp
+    import jax
 
     import spectra_tpu as st
     from spectra_tpu.util.rng import SimpleRandom
 
-    n = 1_000_000
+    # 1M on the accelerator; 100k on the CPU fallback (the compiled JD
+    # core's (n, nvec_max) block algebra is minutes-slow on host BLAS
+    # at 1M and the fallback must not stall the whole bench).
+    n = 1_000_000 if jax.default_backend() == "tpu" else 100_000
     k = 10
-    d = np.linspace(1.0, 100.0, n)
+    # Quadratic diagonal spread: the top-k diagonal gaps (~2e-2) well
+    # exceed the off-diagonal coupling, the regime DPR-Davidson is for.
+    d = np.linspace(1.0, 100.0, n) ** 2
     off1 = np.full(n, 0.5)
     off2 = np.full(n, 0.25)
     A = sps.diags(
