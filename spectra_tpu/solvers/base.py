@@ -31,6 +31,13 @@ from spectra_tpu.util.selection import SortRule
 _FETCH_LIMIT_BYTES = 1 << 28
 
 
+from spectra_tpu.ops.gemv import basis_apply_block as _basis_apply_block
+
+#: Jitted (m, n) x (m, k) -> (k, n) contraction for result-sized
+#: blocks: fused multiply+reduce, peak = input + output.
+_contract_block = jax.jit(_basis_apply_block)
+
+
 def fetch_result_leaf(x):
     """Bring a result leaf to host numpy. Under multi-process execution
     replicated leaves (eigenvalues, counters) are fetched from the local
@@ -466,12 +473,12 @@ class HermEigsBase:
         small = np.asarray(res.vectors_small)[:, np.asarray(res.conv)]
         # Device-side contraction: V may be a (large) device-resident
         # array — never round-trip it through the host. Routed through
-        # the VPU sweep: the emulated-f64 MXU dot materializes an
-        # f32[8, ncv, n] slice tensor (18.4 GB at the 100M-nnz scale —
-        # rejected at compile).
-        from spectra_tpu.ops.gemv import basis_apply_block
-
-        return basis_apply_block(
+        # the VPU sweep (the emulated-f64 MXU dot materializes an
+        # f32[8, ncv, n] slice tensor — 18.4 GB at the 100M-nnz scale)
+        # and jitted: run eagerly, each row's broadcast-multiply
+        # materializes a full (ncv, n) temp before the reduce — another
+        # 4.6 GB that OOM'd the same config at runtime.
+        return _contract_block(
             jnp.asarray(res.V), jnp.asarray(small).astype(res.V.dtype)
         )
 
@@ -533,8 +540,18 @@ class HermEigsBase:
                 niter += self._niter
                 nops += self._nops
                 new_vals = np.asarray(self.eigenvalues())
+                blk = (
+                    self._internal_ritz_block() if len(new_vals) else None
+                )
+                # Free this round's iteration state (the (ncv, n) basis
+                # is 4.6 GB at the 100M-nnz scale) before the locked
+                # block bookkeeping and the next round's fresh basis:
+                # every field of the placeholder is overwritten by the
+                # final _replace below.
+                self._carry = None
+                self._result = self._result._replace(V=None, f=None)
                 if rnd == 0:
-                    vals, X = new_vals, self._internal_ritz_block()
+                    vals, X = new_vals, blk
                     if len(vals) == 0:
                         break
                     continue
@@ -554,9 +571,7 @@ class HermEigsBase:
                 slack = max(100.0 * tol, 1e4 * dtypes.eps(self._dtype)) * scale
                 entered = key_new < boundary - slack
                 vals = np.concatenate([vals, new_vals])
-                X = jnp.concatenate(
-                    [X, self._internal_ritz_block()], axis=0
-                )
+                X = jnp.concatenate([X, blk], axis=0)
                 if not np.any(entered):
                     self._locking_certified = True
                     break
@@ -648,9 +663,7 @@ class HermEigsBase:
         # Through the VPU sweep when V is device-resident f64 on TPU
         # (the MXU emulation's slice tensor OOMs at extreme n).
         if isinstance(res.V, jax.Array):
-            from spectra_tpu.ops.gemv import basis_apply_block
-
-            vecs = basis_apply_block(
+            vecs = _contract_block(
                 jnp.asarray(res.V).astype(out_dtype),
                 jnp.asarray(small).astype(out_dtype),
             ).T
