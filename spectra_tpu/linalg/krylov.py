@@ -175,7 +175,7 @@ def _expand_basis(arnop, V, num_cols, key, dtype):
             f0, inc = jax.lax.cond(
                 it == 0,
                 lambda r: (arnop.perform_op(r), jnp.asarray(1, jnp.int64)),
-                lambda r: (r, jnp.asarray(0, jnp.int64)),
+                lambda r: (arnop.deflate(r), jnp.asarray(0, jnp.int64)),
                 rand,
             )
             Vf = arnop.adjoint_product(Vp, f0)
@@ -328,7 +328,26 @@ def _post_op(arnop, V, H, v, w, h_sub, i, mode: str):
         beta = arnop.norm(f)
         skip = beta > jnp.asarray(0.717, rdtype) * jnp.linalg.norm(h)
 
-    return _reorth_loop(arnop, V, f, beta, H, i, mode, skip, dtype, n)
+    f, beta, H = _reorth_loop(arnop, V, f, beta, H, i, mode, skip, dtype, n)
+    return _deflate_residual(arnop, f, beta, H)
+
+
+def _deflate_residual(arnop, f, beta, H):
+    """Deflated operators (LockedArnoldiOp): re-project the residual at
+    birth so no basis vector carries locked-subspace components. One
+    fused projection against the (q, n) locked block — the memory-light
+    replacement for widening the DGKS basis with the block (whose
+    [V; X] concat cost a third basis-sized buffer at the 100M-nnz
+    scale). Identity (no-op graph) for undeflated operators. Without
+    it, selections that prefer the deflated-to-zero end of the
+    spectrum (e.g. SmallestAlge on a PSD operator) amplify rounding
+    drift into span(locked) through the restart filter and converge to
+    the deflation artifacts (observed: six ~1e-16 Ritz values on the
+    cycle-Laplacian multiplicity test)."""
+    f2 = arnop.deflate(f)
+    if f2 is f:  # identity hook: keep the graph unchanged
+        return f, beta, H
+    return f2, arnop.norm(f2), H
 
 
 def _pre_op(arnop, state: KrylovState, i, mode: str):
@@ -488,6 +507,7 @@ def _post_op_selective(arnop, V, H0, v, w, h_sub, i, w_prev, w_cur, force,
     f, beta, H, w_new = jax.lax.cond(
         need, do_reorth, lambda a: a, (f, beta, H, w_new)
     )
+    f, beta, H = _deflate_residual(arnop, f, beta, H)
     # Parlett-Scott: a triggered re-orthogonalization also forces one on
     # the following step (but a forced one does not cascade).
     force_next = need & (~force)
@@ -664,6 +684,7 @@ def split_expand_correct(arnop, V, f0):
     eps = jnp.asarray(dtypes.eps(dtype), rdtype)
     Vp = arnop.ortho_basis(V)
 
+    f0 = arnop.deflate(f0)  # no-op unless the operator is deflated
     Vf = arnop.adjoint_product(Vp, f0)
     f1 = f0 - basis_apply(Vp, Vf)
     fn = arnop.norm(f1)

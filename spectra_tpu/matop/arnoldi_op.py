@@ -17,7 +17,7 @@ partial reduction plus one psum over the row-partition axis.
 
 import jax.numpy as jnp
 
-from spectra_tpu.ops.gemv import basis_proj, vec_dot
+from spectra_tpu.ops.gemv import basis_apply, basis_proj, vec_dot
 
 from spectra_tpu.util.pytree import pytree_dataclass
 
@@ -76,6 +76,13 @@ class ArnoldiOp:
         """B-norm sqrt(real(x^H B x))."""
         return jnp.sqrt(jnp.real(self.inner_product(x, x)))
 
+    def deflate(self, y):
+        """Hook: project ``y`` out of a locked/deflated subspace (see
+        LockedArnoldiOp). Identity for undeflated operators; applied to
+        breakdown-expansion candidates, which enter the basis without
+        an operator application."""
+        return y
+
     def ortho_basis(self, V):
         """The basis block the residual must be orthogonalized against.
 
@@ -125,20 +132,27 @@ class JStructuredArnoldiOp(ArnoldiOp):
 class LockedArnoldiOp:
     """ArnoldiOp deflated against a locked (converged) invariant block.
 
-    Wraps any ArnoldiOp and widens ``ortho_basis`` with ``locked`` —
-    a (q, n) row-major block of B-orthonormal converged Ritz vectors.
-    Every factorization step then orthogonalizes the residual against
-    the locked subspace as well as the active basis, so the Krylov
-    process explores only the B-orthogonal complement: restarting it
-    from a FRESH random vector surfaces the *remaining* copies of
-    degenerate eigenvalues that a single Krylov sequence cannot resolve
-    (in exact arithmetic a Krylov space contains at most one direction
-    per eigenplane). The locked projections are noise removal — the
-    recorded H is the deflated operator's tridiagonal/Hessenberg, so
-    the whole replicated restart pipeline is unchanged.
+    Wraps any ArnoldiOp with the B-orthogonal projector
+    ``P y = y - locked^T (locked B y)`` applied around every operator
+    application: ``perform_op = P . inner_op . P`` (deflated Lanczos;
+    ``locked`` is a (q, n) row-major block of B-orthonormal converged
+    Ritz vectors). The Krylov process then explores only the
+    B-orthogonal complement: restarting it from a FRESH random vector
+    surfaces the *remaining* copies of degenerate eigenvalues that a
+    single Krylov sequence cannot resolve (in exact arithmetic a
+    Krylov space contains at most one direction per eigenplane). On
+    span(locked) the deflated operator is 0, which no extremal
+    selection picks.
 
-    Composes with structured ops: ``inner.ortho_basis(locked)`` widens
-    the locked block by its J-orbit exactly as it widens V.
+    Operator-level deflation (P A P) rather than widening the
+    re-orthogonalization basis with ``locked``: the widened (ncv+q, n)
+    projection block concatenated INSIDE the step programs costs a
+    third basis-sized buffer — measured 16.0 GB of 15.75 at the
+    100M-nnz north-star (q=20) where operator-level deflation fits.
+    P is re-applied every matvec, so basis drift into span(locked) is
+    re-annihilated each step instead of corrected by DGKS; breakdown
+    expansion candidates (which enter the basis without an operator
+    application) are deflated explicitly via :meth:`deflate`.
 
     The driver seam is :meth:`HermEigsBase.compute_locked`. The
     reference has no counterpart (its regression test
@@ -150,7 +164,9 @@ class LockedArnoldiOp:
     inner: object  # the wrapped ArnoldiOp (possibly J-structured)
     locked: object  # (q, n) row-major B-orthonormal locked block
 
-    has_structure = True
+    @property
+    def has_structure(self):
+        return self.inner.has_structure
 
     @property
     def dtype(self):
@@ -167,8 +183,16 @@ class LockedArnoldiOp:
     def rows(self) -> int:
         return self.inner.rows()
 
+    def deflate(self, y):
+        """``P y``: remove the B-components along the locked block (and
+        its J-orbit for structured inner ops)."""
+        blocks = self.inner.ortho_basis(self.locked)
+        return y - basis_apply(
+            blocks, self.inner.adjoint_product(blocks, y)
+        )
+
     def perform_op(self, x):
-        return self.inner.perform_op(x)
+        return self.deflate(self.inner.perform_op(self.deflate(x)))
 
     def apply_b(self, y):
         return self.inner.apply_b(y)
@@ -183,7 +207,4 @@ class LockedArnoldiOp:
         return self.inner.norm(x)
 
     def ortho_basis(self, V):
-        return jnp.concatenate(
-            [self.inner.ortho_basis(V), self.inner.ortho_basis(self.locked)],
-            axis=0,
-        )
+        return self.inner.ortho_basis(V)

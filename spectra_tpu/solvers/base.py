@@ -456,13 +456,23 @@ class HermEigsBase:
                 state, tol_arr, jnp.asarray(restarts, jnp.int32), **fixed
             )
         self._carry = carry
-        return core.irlm_finalize(
-            carry,
+        # Finalize on the SMALL fields only and attach V/f by reference
+        # afterwards: irlm_finalize is a separate jit on this path, and
+        # an un-donated passthrough of V comes back as a device COPY —
+        # a second basis-sized buffer (4.6 GB at the 100M-nnz scale)
+        # held for the life of the result.
+        small_state = carry.state._replace(
+            V=jnp.zeros((0, 0), carry.state.V.dtype),
+            f=jnp.zeros((0,), carry.state.f.dtype),
+        )
+        res = core.irlm_finalize(
+            carry._replace(state=small_state),
             self._transform_aux(),
             nev=self._nev,
             sorting=sorting,
             transform=type(self)._ritz_transform,
         )
+        return res._replace(V=carry.state.V, f=carry.state.f)
 
     # -- locking / deflated continuation ---------------------------------
     def _internal_ritz_block(self):
