@@ -72,13 +72,11 @@ def _maxabs(x):
 def _structure_clean(arnop, v):
     """Project the STARTING vector v into the operator's admissible
     subspace and renormalize. For J-structured ops this is a rounding-
-    level no-op (v is J-orthogonal to itself analytically), but for a
-    locked (deflated) op v = normalize(Op v0) has O(1) components along
-    the locked directions — the dominant eigenplanes — and a dirty v0
-    column makes the widened projection basis non-orthonormal, which
-    breaks the DGKS correction loop (observed: residual norms growing
-    by ||Op|| per step). Cleaning only f (as the pre-locking code did)
-    is not enough; the basis column itself must lie in the complement.
+    level no-op (v is J-orthogonal to itself analytically). Locked
+    (deflated) operators need no cleaning here: their ``perform_op``
+    is the projected P.A.P, so ``v = normalize(Op v0)`` lands in the
+    admissible complement by construction, and every residual is
+    re-deflated at birth (``_deflate_residual``).
     """
     if not arnop.has_structure:
         return v

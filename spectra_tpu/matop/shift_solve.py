@@ -584,8 +584,29 @@ def _maybe_build_mg(shifted_csr, device_mat, grid_dims=None, op_fields=None):
         scale = scale0 * float(np.linalg.norm(y)) + bnorm
         return resid <= 1e-11 * scale
 
+    import dataclasses
+
+    def share_level0(mg):
+        """The finest MG level is the shifted matrix itself; reuse the
+        operator's existing device DIA instead of `build_mg`'s second
+        copy (0.8 GB at the 100M-nnz north-star — the margin between
+        fitting and OOMing the locked rounds)."""
+        lvl0 = mg.ops[0]
+        if (
+            type(lvl0) is type(device_mat)
+            and getattr(lvl0, "offsets", None) == getattr(
+                device_mat, "offsets", object()
+            )
+            and lvl0.data.shape == device_mat.data.shape
+            and lvl0.data.dtype == device_mat.data.dtype
+        ):
+            return dataclasses.replace(
+                mg, ops=(device_mat,) + tuple(mg.ops[1:])
+            )
+        return mg
+
     try:
-        mg = build_mg(shifted_csr, dims=grid_dims)
+        mg = share_level0(build_mg(shifted_csr, dims=grid_dims))
     except MGBuildError:
         return None
     if trial_ok(mg):
@@ -594,10 +615,12 @@ def _maybe_build_mg(shifted_csr, device_mat, grid_dims=None, op_fields=None):
     # can misclassify mixed/odd operators — the flipped variant is one
     # cheap rebuild away, and the trial solve is the arbiter.
     try:
-        mg2 = build_mg(
-            shifted_csr,
-            dims=grid_dims,
-            boundary="const" if mg.boundary == "clip" else "clip",
+        mg2 = share_level0(
+            build_mg(
+                shifted_csr,
+                dims=grid_dims,
+                boundary="const" if mg.boundary == "clip" else "clip",
+            )
         )
     except MGBuildError:
         return None
