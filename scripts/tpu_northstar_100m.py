@@ -132,7 +132,15 @@ def arpack_reference(A, k, ncv, lam):
     }
 
 
-def run(g: int, k: int = 20, ncv: int = 40, locked: bool = True):
+def run(g: int, k: int = 20, ncv: int | None = None, locked: bool = True):
+    if ncv is None:
+        # HBM model at the 100M-nnz scale: every f64 program on this
+        # runtime pays an input-sized conversion temp (f32-plane
+        # split), so the restart rotation peaks at ~3x the basis.
+        # ncv=32 keeps V + rotation + locked block + MG resident under
+        # the 15.75 GB chip (scripts/hbm_probe.py); smaller stages use
+        # the reference-default 2k.
+        ncv = 32 if g >= 200 else 40
     import jax.numpy as jnp
 
     A = lap3d(g)

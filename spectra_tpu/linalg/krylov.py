@@ -300,7 +300,8 @@ def _lanczos_coeffs(arnop, V, H, v, w, h_sub, i):
     return f, beta, H
 
 
-def _post_op(arnop, V, H, v, w, h_sub, i, mode: str):
+def _post_op(arnop, V, H, v, w, h_sub, i, mode: str,
+             defer_deflate: bool = False):
     """Everything after ``w = A v``: recurrence coefficients, residual,
     re-orthogonalization. Shared verbatim by the fused ``_step`` and
     the split-program stepped path (:mod:`solvers._herm_core`
@@ -327,6 +328,8 @@ def _post_op(arnop, V, H, v, w, h_sub, i, mode: str):
         skip = beta > jnp.asarray(0.717, rdtype) * jnp.linalg.norm(h)
 
     f, beta, H = _reorth_loop(arnop, V, f, beta, H, i, mode, skip, dtype, n)
+    if defer_deflate:
+        return f, beta, H
     return _deflate_residual(arnop, f, beta, H)
 
 
@@ -716,7 +719,8 @@ def split_set_column(state: KrylovState, i):
 
 
 def split_step_finish(
-    arnop, state: KrylovState, w, i, restarted, nops_inc, mode: str
+    arnop, state: KrylovState, w, i, restarted, nops_inc, mode: str,
+    defer_deflate: bool = False,
 ) -> KrylovState:
     """Post-operator half of the step (op-free): recurrence, residual,
     re-orthogonalization — shared arithmetic with `_step` via
@@ -727,7 +731,9 @@ def split_step_finish(
     rdtype = dtypes.real_dtype(V.dtype)
     h_sub = jnp.where(restarted, jnp.asarray(0.0, rdtype), beta).astype(V.dtype)
     v = V[i]
-    f, beta, H = _post_op(arnop, V, H, v, w, h_sub, i, mode)
+    f, beta, H = _post_op(
+        arnop, V, H, v, w, h_sub, i, mode, defer_deflate=defer_deflate
+    )
     return KrylovState(
         V=V,
         H=H,

@@ -80,10 +80,23 @@ def basis_apply_block(X, H):
     H (m, k): returns the rotated (k, n) row-major basis whose row j is
     ``sum_i H[i, j] x_i`` — restart compression and eigenvector
     assembly. The emulated-f64 dot costs ~190 ms per output row at
-    n = 1e6; the per-row sweep costs one read of X per row."""
+    n = 1e6 (and materializes an f32[8, m, n] slice tensor); the
+    per-row sweep costs one read of X per row. Rows are written into
+    the output with an in-place ``fori_loop`` — a stacked
+    list-comprehension materializes every row separately AND the stack
+    copy (one extra (m, n) buffer, AOT-measured 4.6 GB at the 100M-nnz
+    north-star's restart compression)."""
     if _lane_friendly(X, H) and X.shape[1] > (1 << 16):
-        rows = [
-            jnp.sum(X * H[:, j][:, None], axis=0) for j in range(H.shape[1])
-        ]
-        return jnp.stack(rows, axis=0)
+        k = H.shape[1]
+        out = jnp.zeros((k, X.shape[1]), X.dtype)
+        Ht = H.T.astype(X.dtype)  # (k, m) small
+
+        def body(j, out):
+            h_j = jax.lax.dynamic_slice_in_dim(Ht, j, 1, axis=0)  # (1, m)
+            row = jnp.sum(X * h_j.reshape(-1)[:, None], axis=0)
+            return jax.lax.dynamic_update_slice_in_dim(
+                out, row[None, :], j, axis=0
+            )
+
+        return jax.lax.fori_loop(0, k, body, out)
     return H.T @ X

@@ -170,6 +170,14 @@ def _restart_compress(arnop, state, ritz_val, k_new, nev: int, ncv: int):
     compress to k steps. Re-expansion is the caller's job — the
     compiled driver runs it inline (:func:`_restart`); the stepped
     driver replays it one operator application per device execution."""
+    H_new, Q = _shift_sweep(state.H, ritz_val, k_new, nev, ncv)
+    return krylov.compress(arnop, state, Q, H_new, k_new)
+
+
+def _shift_sweep(H, ritz_val, k_new, nev: int, ncv: int):
+    """The replicated small half of the implicit restart: apply the
+    ncv - k_new unwanted Ritz values as shifts (largest magnitude
+    first) to the tridiagonal H, accumulating the rotation Q."""
     rdtype = ritz_val.dtype
 
     # Unwanted = positions >= k_new in the selection order; sort them by
@@ -196,8 +204,7 @@ def _restart_compress(arnop, state, ritz_val, k_new, nev: int, ncv: int):
 
         return jax.lax.cond(j < nshift, apply, lambda HQ: HQ, carry)
 
-    H_new, Q = jax.lax.fori_loop(0, ncv - nev, shift_body, (state.H, Q0))
-    return krylov.compress(arnop, state, Q, H_new, k_new)
+    return jax.lax.fori_loop(0, ncv - nev, shift_body, (H, Q0))
 
 
 def _restart(arnop, state, ritz_val, k_new, nev: int, ncv: int, mode: str):
@@ -381,8 +388,20 @@ _expand_rand = jax.jit(krylov.split_expand_rand)
 _expand_correct = jax.jit(krylov.split_expand_correct)
 _set_column = jax.jit(krylov.split_set_column, donate_argnums=(0,))
 _step_finish = jax.jit(
-    krylov.split_step_finish, static_argnames=("mode",), donate_argnums=(1, 2)
+    krylov.split_step_finish,
+    static_argnames=("mode", "defer_deflate"),
+    donate_argnums=(1, 2),
 )
+
+
+@functools.partial(jax.jit, donate_argnums=(1,))
+def _deflate_f(arnop, f):
+    """Residual deflation as its OWN program (stepped path): inside the
+    locked-round step program the (q, n) projection temps pushed the
+    axon compile past HBM; alone its peak is the locked block plus two
+    n-vectors. Returns (P f, ||P f||)."""
+    f2 = arnop.deflate(f)
+    return f2, arnop.norm(f2)
 _step_finish_sel = jax.jit(
     krylov.split_step_finish_selective, donate_argnums=(1, 2)
 )
@@ -447,9 +466,14 @@ def stepped_step_split(arnop, state, i: int, *, mode: str):
     ``stepped_apply`` execution in the common case; breakdown
     expansion (rare) adds at most one more."""
     state, w, restart, nops_inc = _stepped_pre(arnop, state, i, mode)
-    return _step_finish(
-        arnop, state, w, i, jnp.asarray(restart), nops_inc, mode=mode
+    state = _step_finish(
+        arnop, state, w, i, jnp.asarray(restart), nops_inc, mode=mode,
+        defer_deflate=True,
     )
+    if getattr(arnop, "locked", None) is not None:
+        f2, beta2 = _deflate_f(arnop, state.f)
+        state = state._replace(f=f2, beta=beta2)
+    return state
 
 
 def stepped_step_split_selective(arnop, state, i: int, omega):
@@ -500,7 +524,6 @@ def stepped_extract(
 @functools.partial(
     jax.jit,
     static_argnames=("nev", "ncv", "selection", "restart_method"),
-    donate_argnums=(1,),
 )
 def stepped_restart_compress(
     arnop, state, ritz_val, ritz_est, nconv, *, nev: int, ncv: int,
@@ -509,8 +532,10 @@ def stepped_restart_compress(
     """nev-adjust + shift/compress (implicit) or collapse+arrow (thick).
     Zero operator applications for implicit, one for thick. Returns the
     compressed state and the host-fetchable resume column ``state.k``.
-    Donates ``state`` (its V rotates in place; the driver has already
-    fetched the scalars it logs and rebinds after re-expansion)."""
+    NOT donated: the rotation reads every input row for every output
+    row, so aliasing V in/out forces XLA into a defensive full copy —
+    a third (ncv, n) buffer (AOT-measured +4.6 GB at 100M nnz). The
+    caller rebinds its state on return, freeing the input then."""
     k_new = _nev_adjusted(nconv, ritz_est, nev, ncv)
     if restart_method == "thick":
         state = _restart_thick_compress(arnop, state, k_new, ncv, selection)

@@ -357,6 +357,9 @@ class HermEigsBase:
         selective = (
             self._eff_mode() == "lanczos_selective"
             and not self._arnop.has_structure
+            # Deflated (locked) rounds run full reorth: the omega
+            # recurrence does not model the deflation projections.
+            and getattr(self._arnop, "locked", None) is None
         )
         fixed = dict(
             nev=self._nev,
@@ -546,7 +549,16 @@ class HermEigsBase:
                             self._n, self._dtype
                         )
                     )
-                self.compute(selection, maxit, tol, sorting)
+                try:
+                    self.compute(selection, maxit, tol, sorting)
+                except Exception:
+                    if rnd == 0:
+                        raise
+                    # A deflated continuation round died (e.g. HBM
+                    # exhaustion once the locked block joined the
+                    # residency at extreme scale): keep the pairs
+                    # gathered so far and report certified() False.
+                    break
                 niter += self._niter
                 nops += self._nops
                 new_vals = np.asarray(self.eigenvalues())
