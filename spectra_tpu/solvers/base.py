@@ -551,13 +551,22 @@ class HermEigsBase:
                     )
                 try:
                     self.compute(selection, maxit, tol, sorting)
-                except Exception:
+                except Exception as err:
                     if rnd == 0:
                         raise
                     # A deflated continuation round died (e.g. HBM
                     # exhaustion once the locked block joined the
                     # residency at extreme scale): keep the pairs
                     # gathered so far and report certified() False.
+                    import sys
+
+                    print(
+                        f"[compute_locked] round {rnd} failed "
+                        f"(uncertified): {err!r:.300}",
+                        file=sys.stderr,
+                    )
+                    self._carry = None
+                    self._resume_carry = None
                     break
                 niter += self._niter
                 nops += self._nops
@@ -610,7 +619,27 @@ class HermEigsBase:
 
         take = argsort_np(want, vals)[: self._nev]
         wvals = vals[take]
-        WX = X[jnp.asarray(take)]  # device-side row gather
+        # Device-side row gather, with a host fallback: after a failed
+        # continuation round the dead round's buffers release
+        # asynchronously and a tight chip can refuse even the tiny
+        # index upload for a while.
+        import gc
+        import time as _time
+
+        WX = None
+        for attempt in range(4):
+            try:
+                WX = X[jnp.asarray(take)]
+                jax.block_until_ready(WX)
+                break
+            except Exception:
+                WX = None
+                gc.collect()
+                _time.sleep(3.0 * (attempt + 1))
+        if WX is None:
+            Xh = np.asarray(X)[np.asarray(take)]
+            del X  # free the device block before re-uploading the rows
+            WX = jnp.asarray(Xh)
         order = argsort_np(sorting, wvals)
         nconv = len(wvals)
         res = self._result._replace(
