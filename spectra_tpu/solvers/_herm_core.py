@@ -377,6 +377,28 @@ def stepped_apply(arnop, x):
     return arnop.perform_op(x)
 
 
+@jax.jit
+def _deflate_vec(arnop, y):
+    return arnop.deflate(y)
+
+
+def stepped_apply_deflated(arnop, x):
+    """Operator application for the stepped driver. For a locked
+    (deflated) operator the projector sandwich P.A.P runs as THREE
+    device executions — two small X-projections around the UNDEFLATED
+    apply — instead of one fused program: the fused locked apply both
+    recompiles the whole inner solve per locked-block shape (~2 min at
+    the 100M-nnz scale) and concentrates the f64 conversion temps of
+    X, the operator and the inner-solve workspace into one allocation
+    burst (observed round-1 OOM); split, the plain apply reuses the
+    round-0 executable untouched."""
+    if getattr(arnop, "locked", None) is None:
+        return stepped_apply(arnop, x)
+    return _deflate_vec(
+        arnop, stepped_apply(arnop.inner, _deflate_vec(arnop, x))
+    )
+
+
 # The per-step split programs DONATE the iteration state: without
 # input-output aliasing each program holds TWO copies of the (ncv, n)
 # basis (in + out), which at the 100M-nnz scale (n = 14.3M, ncv = 40,
@@ -416,9 +438,9 @@ def stepped_init_split(arnop, v0, key, *, m: int):
     """Split-program twin of :func:`stepped_init`: two
     ``stepped_apply`` executions + op-free algebra."""
     v0 = jnp.asarray(v0)
-    vraw = stepped_apply(arnop, v0)
+    vraw = stepped_apply_deflated(arnop, v0)
     v = _init_normalize(arnop, v0, vraw)
-    w = stepped_apply(arnop, v)
+    w = stepped_apply_deflated(arnop, v)
     return _init_finish(arnop, v, w, key, m=m)
 
 
@@ -447,7 +469,7 @@ def _stepped_pre(arnop, state, i: int, mode: str):
             rand = _expand_rand(state.key, i, jnp.asarray(it, jnp.int32),
                                 state.f)
             if it == 0:
-                cand = stepped_apply(arnop, rand)
+                cand = stepped_apply_deflated(arnop, rand)
                 nops_inc = nops_inc + 1
             else:
                 cand = rand
@@ -457,7 +479,7 @@ def _stepped_pre(arnop, state, i: int, mode: str):
         state = state._replace(f=f, beta=fn)
 
     state, v = _set_column(state, i)
-    w = stepped_apply(arnop, v)
+    w = stepped_apply_deflated(arnop, v)
     return state, w, restart, nops_inc
 
 
