@@ -162,7 +162,12 @@ class LockedArnoldiOp:
     """
 
     inner: object  # the wrapped ArnoldiOp (possibly J-structured)
-    locked: object  # (q, n) row-major B-orthonormal locked block
+    #: TUPLE of (q_i, n) row-major B-orthonormal locked blocks — one
+    #: per completed locking round, never concatenated: at the
+    #: 100M-nnz scale a device concatenate of two 2.3 GB blocks peaks
+    #: at inputs + f64-conversion temps + output (~14 GB) and OOM'd
+    #: the certification; per-block projections stay bounded.
+    locked: tuple
 
     @property
     def has_structure(self):
@@ -184,12 +189,14 @@ class LockedArnoldiOp:
         return self.inner.rows()
 
     def deflate(self, y):
-        """``P y``: remove the B-components along the locked block (and
-        its J-orbit for structured inner ops)."""
-        blocks = self.inner.ortho_basis(self.locked)
-        return y - basis_apply(
-            blocks, self.inner.adjoint_product(blocks, y)
-        )
+        """``P y``: remove the B-components along every locked block
+        (and their J-orbits for structured inner ops)."""
+        for blk in self.locked:
+            wide = self.inner.ortho_basis(blk)
+            y = y - basis_apply(
+                wide, self.inner.adjoint_product(wide, y)
+            )
+        return y
 
     def perform_op(self, x):
         return self.deflate(self.inner.perform_op(self.deflate(x)))

@@ -38,6 +38,16 @@ from spectra_tpu.ops.gemv import basis_apply_block as _basis_apply_block
 _contract_block = jax.jit(_basis_apply_block)
 
 
+import functools as _functools
+
+
+@_functools.partial(jax.jit, donate_argnums=(0,))
+def _scatter_rows(dest, block, src, dst):
+    """``dest[dst] = block[src]``; ``dest`` donated (scatter aliases
+    in place)."""
+    return dest.at[dst].set(block[src])
+
+
 def fetch_result_leaf(x):
     """Bring a result leaf to host numpy. Under multi-process execution
     replicated leaves (eigenvalues, counters) are fetched from the local
@@ -530,7 +540,10 @@ class HermEigsBase:
         want = sorting if want is None else want
         base_arnop = self._arnop
         vals: np.ndarray | None = None
-        X = None  # (q, n) locked block
+        # Per-round locked blocks, kept SEPARATE (see LockedArnoldiOp:
+        # a device concatenate at the 100M-nnz scale peaks at ~3x the
+        # combined block size and OOM'd the certification).
+        blocks: list = []
         niter = nops = 0
         self._locking_certified = False
 
@@ -543,7 +556,9 @@ class HermEigsBase:
                     self._locking_round = False
                 else:
                     self._locking_round = True
-                    self._arnop = LockedArnoldiOp(inner=base_arnop, locked=X)
+                    self._arnop = LockedArnoldiOp(
+                        inner=base_arnop, locked=tuple(blocks)
+                    )
                     self.init(
                         SimpleRandom(77000 + rnd).random_vec(
                             self._n, self._dtype
@@ -582,9 +597,10 @@ class HermEigsBase:
                 self._carry = None
                 self._result = self._result._replace(V=None, f=None)
                 if rnd == 0:
-                    vals, X = new_vals, blk
+                    vals = new_vals
                     if len(vals) == 0:
                         break
+                    blocks.append(blk)
                     continue
                 if len(new_vals) == 0:
                     break
@@ -602,7 +618,7 @@ class HermEigsBase:
                 slack = max(100.0 * tol, 1e4 * dtypes.eps(self._dtype)) * scale
                 entered = key_new < boundary - slack
                 vals = np.concatenate([vals, new_vals])
-                X = jnp.concatenate([X, blk], axis=0)
+                blocks.append(blk)
                 if not np.any(entered):
                     self._locking_certified = True
                     break
@@ -619,27 +635,23 @@ class HermEigsBase:
 
         take = argsort_np(want, vals)[: self._nev]
         wvals = vals[take]
-        # Device-side row gather, with a host fallback: after a failed
-        # continuation round the dead round's buffers release
-        # asynchronously and a tight chip can refuse even the tiny
-        # index upload for a while.
-        import gc
-        import time as _time
-
-        WX = None
-        for attempt in range(4):
-            try:
-                WX = X[jnp.asarray(take)]
-                jax.block_until_ready(WX)
-                break
-            except Exception:
-                WX = None
-                gc.collect()
-                _time.sleep(3.0 * (attempt + 1))
-        if WX is None:
-            Xh = np.asarray(X)[np.asarray(take)]
-            del X  # free the device block before re-uploading the rows
-            WX = jnp.asarray(Xh)
+        # Assemble the wanted rows from the per-round blocks with one
+        # jitted gather/scatter per source block (peak = destination +
+        # one block), never concatenating the blocks.
+        sizes = [int(b.shape[0]) for b in blocks]
+        starts = np.concatenate([[0], np.cumsum(sizes)])
+        WX = jnp.zeros((len(take), self._n), self._dtype)
+        for b, blk_b in enumerate(blocks):
+            sel = [
+                (dst, g - int(starts[b]))
+                for dst, g in enumerate(np.asarray(take))
+                if starts[b] <= g < starts[b + 1]
+            ]
+            if not sel:
+                continue
+            dst = np.asarray([d for d, _ in sel], np.int32)
+            src = np.asarray([s for _, s in sel], np.int32)
+            WX = _scatter_rows(WX, blk_b, jnp.asarray(src), jnp.asarray(dst))
         order = argsort_np(sorting, wvals)
         nconv = len(wvals)
         res = self._result._replace(
