@@ -550,8 +550,28 @@ class HermEigsBase:
         from spectra_tpu.matop.arnoldi_op import LockedArnoldiOp
         from spectra_tpu.util.selection import sort_key_np
 
+        import os as _os
+        import sys as _sys
+
+        def _memlog(tag):
+            if not _os.environ.get("SPECTRA_TPU_STEP_LOG"):
+                return
+            try:
+                ms = jax.devices()[0].memory_stats() or {}
+                print(
+                    f"[compute_locked] {tag}: "
+                    f"in_use={ms.get('bytes_in_use', 0) / 2**30:.2f}G "
+                    f"peak={ms.get('peak_bytes_in_use', 0) / 2**30:.2f}G "
+                    f"limit={ms.get('bytes_limit', 0) / 2**30:.2f}G",
+                    file=_sys.stderr,
+                    flush=True,
+                )
+            except Exception:
+                pass
+
         try:
             for rnd in range(max_rounds):
+                _memlog(f"round {rnd} start")
                 if rnd == 0:
                     self._locking_round = False
                 else:
@@ -596,6 +616,7 @@ class HermEigsBase:
                 # final _replace below.
                 self._carry = None
                 self._result = self._result._replace(V=None, f=None)
+                _memlog(f"round {rnd} after drop")
                 if rnd == 0:
                     vals = new_vals
                     if len(vals) == 0:
