@@ -616,6 +616,17 @@ class HermEigsBase:
                 # final _replace below.
                 self._carry = None
                 self._result = self._result._replace(V=None, f=None)
+                if self._n >= 1 << 22:
+                    # Drop compiled executables between rounds: on the
+                    # tunneled runtime each round's locked-op program
+                    # set retains device workspace; at the 100M-nnz
+                    # scale the accumulated arenas exhausted HBM before
+                    # round 2's first upload. Recompiling the next
+                    # round's (op-free) programs costs seconds.
+                    import gc as _gc
+
+                    jax.clear_caches()
+                    _gc.collect()
                 _memlog(f"round {rnd} after drop")
                 if rnd == 0:
                     vals = new_vals
