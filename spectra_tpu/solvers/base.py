@@ -572,19 +572,19 @@ class HermEigsBase:
         try:
             for rnd in range(max_rounds):
                 _memlog(f"round {rnd} start")
-                if rnd == 0:
-                    self._locking_round = False
-                else:
-                    self._locking_round = True
-                    self._arnop = LockedArnoldiOp(
-                        inner=base_arnop, locked=tuple(blocks)
-                    )
-                    self.init(
-                        SimpleRandom(77000 + rnd).random_vec(
-                            self._n, self._dtype
-                        )
-                    )
                 try:
+                    if rnd == 0:
+                        self._locking_round = False
+                    else:
+                        self._locking_round = True
+                        self._arnop = LockedArnoldiOp(
+                            inner=base_arnop, locked=tuple(blocks)
+                        )
+                        self.init(
+                            SimpleRandom(77000 + rnd).random_vec(
+                                self._n, self._dtype
+                            )
+                        )
                     self.compute(selection, maxit, tol, sorting)
                 except Exception as err:
                     if rnd == 0:
