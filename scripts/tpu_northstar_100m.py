@@ -167,6 +167,10 @@ def run(g: int, k: int = 20, ncv: int | None = None, locked: bool = True):
             sorting=st.SortRule.SmallestAlge,
             want=st.SortRule.SmallestAlge,
             max_rounds=3,
+            # Continuation rounds carry the locked blocks in HBM;
+            # shrink their basis so round 2 (two blocks resident)
+            # stays on-chip at the 100M-nnz scale (docs/SCALING.md).
+            ncv_locked=24 if g >= 200 else None,
         )
     else:
         nconv = eigs.compute(st.SortRule.LargestMagn, maxit=60, tol=1e-10)

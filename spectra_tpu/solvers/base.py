@@ -513,6 +513,7 @@ class HermEigsBase:
         sorting: SortRule = SortRule.LargestAlge,
         want: SortRule | None = None,
         max_rounds: int = 6,
+        ncv_locked: int | None = None,
     ) -> int:
         """The nev most-wanted eigenpairs counted WITH multiplicity.
 
@@ -536,9 +537,19 @@ class HermEigsBase:
         ``sorting``. E.g. k-smallest via shift-invert: selection
         LargestMagn (of nu), want/sorting SmallestAlge (of lambda).
         ``certified()`` reports whether the frontier test passed.
+
+        ``ncv_locked`` (optional) runs the deflated continuation
+        rounds with a smaller Krylov space than round 0: at extreme
+        scale each completed round adds a (nev, n) locked block to the
+        HBM residency, and shrinking the continuation basis is what
+        keeps rounds 2+ (two+ blocks resident) on a single chip.
+        Must exceed nev.
         """
         want = sorting if want is None else want
+        if ncv_locked is not None and ncv_locked <= self._nev:
+            raise ValueError("ncv_locked must exceed nev")
         base_arnop = self._arnop
+        base_ncv = self._ncv
         vals: np.ndarray | None = None
         # Per-round locked blocks, kept SEPARATE (see LockedArnoldiOp:
         # a device concatenate at the 100M-nnz scale peaks at ~3x the
@@ -577,6 +588,8 @@ class HermEigsBase:
                         self._locking_round = False
                     else:
                         self._locking_round = True
+                        if ncv_locked is not None:
+                            self._ncv = int(ncv_locked)
                         self._arnop = LockedArnoldiOp(
                             inner=base_arnop, locked=tuple(blocks)
                         )
@@ -656,6 +669,7 @@ class HermEigsBase:
                     break
         finally:
             self._arnop = base_arnop
+            self._ncv = base_ncv
             self._locking_round = False
 
         if vals is None or len(vals) == 0:
@@ -672,18 +686,34 @@ class HermEigsBase:
         # one block), never concatenating the blocks.
         sizes = [int(b.shape[0]) for b in blocks]
         starts = np.concatenate([[0], np.cumsum(sizes)])
-        WX = jnp.zeros((len(take), self._n), self._dtype)
-        for b, blk_b in enumerate(blocks):
-            sel = [
-                (dst, g - int(starts[b]))
-                for dst, g in enumerate(np.asarray(take))
-                if starts[b] <= g < starts[b + 1]
-            ]
-            if not sel:
-                continue
-            dst = np.asarray([d for d, _ in sel], np.int32)
-            src = np.asarray([s for _, s in sel], np.int32)
-            WX = _scatter_rows(WX, blk_b, jnp.asarray(src), jnp.asarray(dst))
+        try:
+            WX = jnp.zeros((len(take), self._n), self._dtype)
+            for b, blk_b in enumerate(blocks):
+                sel = [
+                    (dst, g - int(starts[b]))
+                    for dst, g in enumerate(np.asarray(take))
+                    if starts[b] <= g < starts[b + 1]
+                ]
+                if not sel:
+                    continue
+                dst = np.asarray([d for d, _ in sel], np.int32)
+                src = np.asarray([s for _, s in sel], np.int32)
+                WX = _scatter_rows(
+                    WX, blk_b, jnp.asarray(src), jnp.asarray(dst)
+                )
+            jax.block_until_ready(WX)
+        except Exception as err:
+            # Post-OOM the runtime refuses further allocations: deliver
+            # the (host-side) eigenvalues with an empty vector block
+            # rather than losing the whole computation.
+            import sys as _s
+
+            print(
+                f"[compute_locked] vector assembly unavailable: "
+                f"{err!r:.200}",
+                file=_s.stderr,
+            )
+            WX = np.zeros((len(take), 0), np.dtype(self._dtype))
         order = argsort_np(sorting, wvals)
         nconv = len(wvals)
         res = self._result._replace(
@@ -694,7 +724,7 @@ class HermEigsBase:
             niter=np.int32(niter),
             nops=np.int64(nops),
             V=WX,
-            f=np.zeros((self._n,), np.dtype(WX.dtype)),
+            f=np.zeros((self._n if WX.shape[-1] else 0,), np.dtype(WX.dtype)),
         )
         return self._finish_result(res)
 
