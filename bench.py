@@ -247,7 +247,8 @@ def _bench_gen_sparse():
 
     g = 500  # n = 250k, ~1.25M nnz
     n = g * g
-    k, m = 6, 20
+    k, m = 6, 30  # ncv=30: at 20 both we and ARPACK grind on this
+    # clustered-|lambda| convection-diffusion spectrum (4/6 at maxit)
     lap1 = sps.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(g, g))
     upw1 = sps.diags([-1.0, 1.0], [-1, 0], shape=(g, g))  # upwind d/dx
     c = 0.3
@@ -278,18 +279,15 @@ def _bench_gen_sparse():
         return_eigenvectors=False,
     )
     t_arpack = time.perf_counter() - t0
-    pair = lambda x: sorted(  # noqa: E731
-        (round(float(z.real), 9), round(float(z.imag), 9)) for z in x
-    )
-    nshare = min(len(vals), len(w))
+    # Set agreement via nearest-value distance: on this clustered-|l|
+    # spectrum the two solvers may order/select boundary members
+    # differently, so positional pairing is meaningless; the residual
+    # above is the primary correctness signal.
     agree = (
         float(
-            np.abs(
-                np.asarray(pair(vals)[:nshare])
-                - np.asarray(pair(w)[:nshare])
-            ).max()
+            np.abs(vals[:, None] - np.asarray(w)[None, :]).min(axis=1).max()
         )
-        if nshare
+        if len(vals) and len(w)
         else None
     )
     return {
@@ -316,10 +314,14 @@ def _bench_davidson():
     import spectra_tpu as st
     from spectra_tpu.util.rng import SimpleRandom
 
-    # 1M on the accelerator; 100k on the CPU fallback (the compiled JD
-    # core's (n, nvec_max) block algebra is minutes-slow on host BLAS
-    # at 1M and the fallback must not stall the whole bench).
-    n = 1_000_000 if jax.default_backend() == "tpu" else 100_000
+    # 250k on the accelerator — measured ceiling for the compiled JD
+    # core on the tunneled runtime: n=500k crashes the TPU worker
+    # ("kernel fault") and n=1M fails remote compile; the JD basis is
+    # (n, 10*nev) column-major, whose emulated-f64 block products are
+    # the next optimization target. 100k on the CPU fallback (host
+    # BLAS is minutes-slow at larger n and the fallback must not stall
+    # the whole bench).
+    n = 250_000 if jax.default_backend() == "tpu" else 100_000
     k = 10
     # Quadratic diagonal spread: the top-k diagonal gaps (~2e-2) well
     # exceed the off-diagonal coupling, the regime DPR-Davidson is for.
@@ -333,7 +335,12 @@ def _bench_davidson():
     op = st.SparseSymMatProd.from_full(A)
     solver = st.DavidsonSymEigsSolver(op, nev=k)
     t0 = time.perf_counter()
-    nconv = solver.compute(st.SortRule.LargestAlge, maxit=100, tol=1e-9)
+    # JD converges on ABSOLUTE residual norms (reference:
+    # RitzPairs.h:73-87); scipy's tol is relative — scale by ||A|| so
+    # both solvers face the same 1e-9-relative bar.
+    nconv = solver.compute(
+        st.SortRule.LargestAlge, maxit=150, tol=1e-9 * float(d.max())
+    )
     wall = time.perf_counter() - t0
     vals = np.sort(np.asarray(solver.eigenvalues()))[::-1][:k]
 
@@ -465,9 +472,9 @@ def main():
         _keep_stale("gen_sparse_k6", err)
     _flush()
     try:
-        details["davidson_1M_k10"] = _bench_davidson()
+        details["davidson_250k_k10"] = _bench_davidson()
     except Exception as err:
-        _keep_stale("davidson_1M_k10", err)
+        _keep_stale("davidson_250k_k10", err)
     _flush()
 
     # Shift-invert at n=1e6 LAST: on the remote accelerator a long
