@@ -27,13 +27,15 @@ Semantics mirror the host loop step for step:
 The derived-class correction (the reference's CRTP seam) is a static
 function argument ``correction_fn(vals_c, residues_c, aux)``.
 
-Robustness beyond the reference: the loop tracks the best Ritz
-snapshot (values/vectors/residues at the smallest max residual norm)
+Robustness beyond the reference: the loop tracks the best Ritz snapshot
+(values/vectors/residues at the smallest max residual norm)
 and exits once ``patience`` iterations pass without a >=10% residual
-improvement. On TPUs with emulated fp64 the achievable residual floor
-(~1e-5 absolute for moderate ‖A‖) can sit above a requested tol;
-without the guard the iteration churns noise through the incremental
-``W`` and restart compressions until the basis degenerates.
+improvement. The achievable residual floor can sit above a requested
+tol (on the TPU runtime the floor was ~1e-5 absolute until the
+round-4 accuracy work — Jacobi eigh + VPU dots, linalg/jacobi.py —
+brought it to ~6e-12, measured on a dense n=1000 probe); without the
+guard the iteration churns noise through the incremental ``W`` and
+restart compressions until the basis degenerates.
 """
 
 import functools
@@ -59,7 +61,8 @@ class JDState(NamedTuple):
     it: jax.Array  # iterations completed (i32)
     nops: jax.Array  # operator column applications (i32)
     # Best-iterate tracking (see module docstring): on accelerators with
-    # emulated fp64 the residual floor sits around 1e-5..1e-7; iterating
+    # emulated fp64 the residual floor sat at 1e-5..1e-7 before the
+    # round-4 Jacobi-eigh/VPU-dot fixes (now ~6e-12); iterating
     # past stagnation compounds noise through the incremental W and the
     # restart compressions until the basis degenerates. We keep the best
     # Ritz snapshot seen so far and stop after `patience` iterations
