@@ -279,10 +279,11 @@ def _bench_gen_sparse():
         return_eigenvectors=False,
     )
     t_arpack = time.perf_counter() - t0
-    # Set agreement via nearest-value distance: on this clustered-|l|
-    # spectrum the two solvers may order/select boundary members
-    # differently, so positional pairing is meaningless; the residual
-    # above is the primary correctness signal.
+    # Set agreement via nearest-value distance: k=6 cuts a conjugate
+    # pair at an exact |lambda| tie (measured top-12: |l_6| == |l_7| =
+    # 8.582486), so the boundary member is genuinely ambiguous and the
+    # two solvers may legitimately return different cluster members
+    # (~1e-3 apart); the residual above is the correctness signal.
     agree = (
         float(
             np.abs(vals[:, None] - np.asarray(w)[None, :]).min(axis=1).max()
