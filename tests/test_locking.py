@@ -154,3 +154,22 @@ def test_generalized_b_metric_locking():
     assert geigs.certified()
     lam = np.sort(np.asarray(geigs.eigenvalues()))[::-1]
     np.testing.assert_allclose(lam, [8.0, 8.0, 4.0], atol=1e-8)
+
+
+def test_ncv_locked_continuation_rounds():
+    # Reduced-basis continuation rounds (the extreme-scale memory
+    # lever) must still certify and return the full wanted set.
+    rng = np.random.default_rng(9)
+    Q, _ = np.linalg.qr(rng.normal(size=(80, 80)))
+    d = np.concatenate([[9.0, 9.0, 9.0], np.linspace(1.0, 5.0, 77)])
+    A = (Q * d[None, :]) @ Q.T
+    A = 0.5 * (A + A.T)
+    eigs = st.SymEigsSolver(st.DenseSymMatProd.create(A), nev=4, ncv=20)
+    eigs.init()
+    nconv = eigs.compute_locked(SortRule.LargestAlge, ncv_locked=10)
+    assert nconv == 4
+    assert eigs.certified()
+    lam = np.sort(np.asarray(eigs.eigenvalues()))[::-1]
+    np.testing.assert_allclose(lam[:3], [9.0, 9.0, 9.0], atol=1e-8)
+    with pytest.raises(ValueError):
+        eigs.compute_locked(SortRule.LargestAlge, ncv_locked=3)
