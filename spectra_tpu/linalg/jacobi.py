@@ -65,7 +65,13 @@ def _apply_round(A, V, P, Q):
     live = jnp.abs(apq) > 0.5 * eps * (jnp.abs(app) + jnp.abs(aqq))
     denom = jnp.where(live, 2.0 * apq, 1.0)
     tau = jnp.where(live, (aqq - app) / denom, 0.0)
-    t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+    # sign(tau) must be +-1, never 0: tau == 0 (exactly equal diagonal
+    # entries with a live pivot — e.g. [[2,1],[1,2]]) needs the full
+    # 45-degree rotation t = 1, not the identity; jnp.sign(0) == 0
+    # would skip the rotation while the pivot is still force-zeroed
+    # below, silently destroying off-diagonal mass.
+    sgn = jnp.where(tau >= 0, 1.0, -1.0).astype(rdtype)
+    t = sgn / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
     c = 1.0 / jnp.sqrt(1.0 + t * t)
     s = t * c
     c = jnp.where(live, c, 1.0)

@@ -142,6 +142,11 @@ class HermEigsBase:
             self._mode == "lanczos"
             and self._reorth == "selective"
             and self._restart_method != "thick"
+            # Deflated (locked) rounds run full reorth on every
+            # driver: the omega recurrence does not model the
+            # deflation projections, so drift toward span(locked)
+            # would be invisible to it.
+            and getattr(self._arnop, "locked", None) is None
         ):
             # Thick restarts leave H an ARROWHEAD (locked-Ritz couplings
             # in row/col k), but the omega recurrence reads only
@@ -546,10 +551,18 @@ class HermEigsBase:
         Must exceed nev.
         """
         want = sorting if want is None else want
+        if want == SortRule.BothEnds:
+            # The frontier certification compares scalar sort keys; the
+            # interleaved both-ends order has no single boundary key.
+            raise ValueError(
+                "compute_locked does not support want=BothEnds; run "
+                "two certifications (LargestAlge and SmallestAlge)"
+            )
         if ncv_locked is not None and ncv_locked <= self._nev:
             raise ValueError("ncv_locked must exceed nev")
         base_arnop = self._arnop
         base_ncv = self._ncv
+        base_v0 = self._v0
         vals: np.ndarray | None = None
         # Per-round locked blocks, kept SEPARATE (see LockedArnoldiOp:
         # a device concatenate at the 100M-nnz scale peaks at ~3x the
@@ -670,9 +683,15 @@ class HermEigsBase:
         finally:
             self._arnop = base_arnop
             self._ncv = base_ncv
+            self._v0 = base_v0
             self._locking_round = False
 
         if vals is None or len(vals) == 0:
+            # The V/f placeholders were nulled between rounds; with
+            # nothing converged there is no result to package — reset
+            # to the not-computed representation so the accessors'
+            # empty-result paths apply.
+            self._result = None
             return 0
         # Wanted top-nev (with multiplicity) across all rounds, in
         # ``sorting`` order, packaged as a standard result (V holds the

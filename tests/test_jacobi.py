@@ -92,3 +92,19 @@ def test_eigh_accurate_matches_eigh_off_tpu():
     )
     V = np.asarray(V)
     assert np.abs(A @ V - V * np.asarray(w)[None, :]).max() <= 1e-12
+
+
+def test_equal_diagonal_live_pivot():
+    # Review finding: tau == 0 (exactly equal diagonal entries, live
+    # pivot) must rotate by 45 degrees, not skip-and-zero the pivot —
+    # jnp.sign(0) == 0 silently destroyed the off-diagonal mass.
+    A = np.array([[2.0, 1.0], [1.0, 2.0]])
+    w, V = jacobi_eigh(jnp.asarray(A))
+    np.testing.assert_allclose(np.asarray(w), [1.0, 3.0], atol=1e-14)
+    V = np.asarray(V)
+    assert np.abs(A @ V - V * np.asarray(w)[None, :]).max() < 1e-14
+    # Larger case: block of exactly-equal diagonals with couplings.
+    B = np.full((6, 6), 0.3)
+    np.fill_diagonal(B, 5.0)
+    w2 = np.asarray(jacobi_eigh(jnp.asarray(B))[0])
+    np.testing.assert_allclose(w2, np.linalg.eigvalsh(B), atol=1e-12)

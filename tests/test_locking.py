@@ -173,3 +173,32 @@ def test_ncv_locked_continuation_rounds():
     np.testing.assert_allclose(lam[:3], [9.0, 9.0, 9.0], atol=1e-8)
     with pytest.raises(ValueError):
         eigs.compute_locked(SortRule.LargestAlge, ncv_locked=3)
+
+
+def test_zero_convergence_leaves_clean_state():
+    # Review finding: a compute_locked that converges nothing must not
+    # leave a half-nulled result behind (eigenvectors() crashed).
+    rng = np.random.default_rng(1)
+    A = rng.uniform(size=(200, 200)) - 0.5
+    A = A + A.T
+    eigs = st.SymEigsSolver(st.DenseSymMatProd.create(A), nev=6, ncv=10)
+    eigs.init()
+    nconv = eigs.compute_locked(SortRule.LargestMagn, maxit=1)
+    if nconv == 0:
+        assert np.asarray(eigs.eigenvalues()).size == 0
+        assert np.asarray(eigs.eigenvectors()).shape[1] == 0
+
+
+def test_compute_locked_restores_v0():
+    # Review finding: compute_locked must not leave the last
+    # continuation round's random v0 behind.
+    n = 120
+    d = np.linspace(1.0, 12.0, n)
+    A = sps.diags(d).tocsr()
+    eigs = st.SymEigsSolver(st.SparseSymMatProd.from_full(A), nev=3, ncv=12)
+    my_v0 = np.linspace(1.0, 2.0, n)
+    eigs.init(my_v0)
+    eigs.compute_locked(SortRule.LargestAlge)
+    np.testing.assert_allclose(np.asarray(eigs._v0), my_v0)
+    with pytest.raises(ValueError):
+        eigs.compute_locked(SortRule.BothEnds, want=SortRule.BothEnds)
