@@ -296,22 +296,28 @@ class MGState:
         return int(np.prod(self.dims_per_level[0]))
 
 
-def _lam_max_jacobi(csr, diag, iters: int = 20, seed: int = 7) -> float:
+def _lam_max_jacobi(csr, diag, iters: int = 12, seed: int = 7) -> float:
     """Overestimate of ``lambda_max(D^{-1} A)`` (power iteration +
-    10% safety) — the Chebyshev smoother's upper interval edge. The
+    15% safety) — the Chebyshev smoother's upper interval edge. The
     Jacobi-preconditioned operator is similar to the symmetric
-    ``D^{-1/2} A D^{-1/2}``, so its spectrum is real."""
+    ``D^{-1/2} A D^{-1/2}``, so its spectrum is real. The matvec runs
+    on the threaded native CSR kernel (native/sparse_kernels.cpp) —
+    this loop was ~19 s of the g=243 hierarchy build on scipy."""
+    from spectra_tpu.native import csr_matvec_builder
+
+    mv = csr_matvec_builder(csr)
     rng = np.random.default_rng(seed)
     v = rng.normal(size=csr.shape[0])
     v /= np.linalg.norm(v)
     lam = 1.0
+    inv_diag = 1.0 / diag
     for _ in range(iters):
-        w = (csr @ v) / diag
+        w = mv(v) * inv_diag
         lam = float(np.linalg.norm(w))
         if lam == 0 or not np.isfinite(lam):
             raise MGBuildError("D^{-1} A power iteration degenerated")
         v = w / lam
-    return 1.1 * lam
+    return 1.15 * lam
 
 
 def resolve_grid(shifted_csr, dims=None, max_diags: int = 40):
@@ -382,7 +388,12 @@ def build_level_chain(
         )
         dims_per_level.append(level_dims)
         P = prolong_matrix(level_dims, boundary)
-        level_csr = (P.T @ level_csr @ P).tocsr()
+        from spectra_tpu.native import galerkin_rap
+
+        # Threaded native Gustavson spgemm (native/sparse_kernels.cpp)
+        # — scipy's single-core product made this loop cost 271 s at
+        # the g=243 north-star scale (19% of end-to-end wall).
+        level_csr = galerkin_rap(level_csr, P).tocsr()
         level_csr.sum_duplicates()
         # Drop numerically-zero fill so the coarse DIA stays tight.
         level_csr.data[np.abs(level_csr.data) < 1e-300] = 0.0
@@ -409,11 +420,16 @@ def mg_state_from_chain(
     levels, coarse_inv, dims_per_level, boundary, nu1=2, nu2=2, dtype=None
 ):
     """Assemble a single-device :class:`MGState` from a host chain."""
-    from spectra_tpu.sparse.formats import dia_from_scipy
+    from spectra_tpu.sparse.formats import dia_from_scipy, maybe_hilo
 
     cast = (lambda a: a) if dtype is None else (lambda a: a.astype(dtype))
     return MGState(
-        ops=tuple(dia_from_scipy(lv["csr"], dtype=dtype) for lv in levels),
+        # HBM-resident fine levels route to the hi/lo-plane Pallas
+        # SpMV on TPU (ops/dia_ds.py); coarse levels stay XLA DIA.
+        ops=tuple(
+            maybe_hilo(dia_from_scipy(lv["csr"], dtype=dtype))
+            for lv in levels
+        ),
         inv_diags=tuple(jnp.asarray(cast(lv["inv_diag"])) for lv in levels),
         lam_max=tuple(jnp.asarray(lv["lam"]) for lv in levels),
         coarse_inv=jnp.asarray(

@@ -592,13 +592,17 @@ def _maybe_build_mg(shifted_csr, device_mat, grid_dims=None, op_fields=None):
         copy (0.8 GB at the 100M-nnz north-star — the margin between
         fitting and OOMing the locked rounds)."""
         lvl0 = mg.ops[0]
+        # Cheap signature compare (never touch .data: on DiaHiLoMatrix
+        # that property materializes a full f64 combine of the planes).
         if (
             type(lvl0) is type(device_mat)
             and getattr(lvl0, "offsets", None) == getattr(
                 device_mat, "offsets", object()
             )
-            and lvl0.data.shape == device_mat.data.shape
-            and lvl0.data.dtype == device_mat.data.dtype
+            and getattr(lvl0, "n_rows", None) == getattr(
+                device_mat, "n_rows", object()
+            )
+            and lvl0.dtype == device_mat.dtype
         ):
             return dataclasses.replace(
                 mg, ops=(device_mat,) + tuple(mg.ops[1:])
@@ -659,14 +663,19 @@ def build_shifted_iterative(
         dia_from_scipy,
         dia_suitability,
         ell_from_scipy,
+        maybe_hilo,
     )
 
     n = shifted.shape[0]
     # Banded matrices (stencils): the gather-free DIA matvec is the
     # difference between a practical and an impractical inner solve at
-    # n ~ 1e6 (~100 us vs several ms per SpMV on a v5e).
-    to_device = dia_from_scipy if dia_suitability(shifted) else ell_from_scipy
-    device_mat = to_device(shifted)
+    # n ~ 1e6 (~100 us vs several ms per SpMV on a v5e). HBM-resident
+    # f64 stencils further route to the fused double-single Pallas
+    # kernel (ops/dia_ds.py, 3.3x at 100M nnz).
+    if dia_suitability(shifted):
+        device_mat = maybe_hilo(dia_from_scipy(shifted))
+    else:
+        device_mat = ell_from_scipy(shifted)
     mg_state = None
     if method in ("mg", "minres"):
         mg_state = _maybe_build_mg(

@@ -19,12 +19,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from spectra_tpu.sparse.formats import (
+    DiaHiLoMatrix,
     DiaMatrix,
     EllMatrix,
     dia_from_scipy,
     dia_suitability,
     ell_from_dense,
     ell_from_scipy,
+    maybe_hilo,
     symmetrize_scipy,
 )
 from spectra_tpu.util.pytree import pytree_dataclass
@@ -37,11 +39,16 @@ def _is_scipy_sparse(mat) -> bool:
 def _to_ell(mat, dtype=None, format: str = "auto"):
     """Device storage selection: ``"auto"`` picks DIA for banded
     matrices (gather-free stencil SpMV), ELL otherwise."""
-    if isinstance(mat, (EllMatrix, DiaMatrix)):
+    if isinstance(mat, (EllMatrix, DiaMatrix, DiaHiLoMatrix)):
         return mat
     if _is_scipy_sparse(mat):
+        if format == "dia_hilo":
+            return DiaHiLoMatrix.from_dia(dia_from_scipy(mat, dtype=dtype))
         if format == "dia" or (format == "auto" and dia_suitability(mat)):
-            return dia_from_scipy(mat, dtype=dtype)
+            dia = dia_from_scipy(mat, dtype=dtype)
+            # HBM-resident f64 stencils on TPU route to the fused
+            # double-single Pallas kernel (ops/dia_ds.py, 3.3x).
+            return maybe_hilo(dia) if format == "auto" else dia
         return ell_from_scipy(mat, dtype=dtype)
     mat = np.asarray(mat, dtype=dtype)
     if format == "dia":

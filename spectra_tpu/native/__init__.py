@@ -44,6 +44,7 @@ def build_and_load(src: str, lib_path: str) -> ctypes.CDLL:
                 "-march=native",
                 "-shared",
                 "-fPIC",
+                "-pthread",
                 "-std=c++17",
                 src,
                 "-o",
@@ -98,6 +99,19 @@ def _load():
         ]
         lib.spectra_laplacian2d_dia.restype = None
         lib.spectra_laplacian2d_dia.argtypes = [ctypes.c_int64, f64p, i64p]
+        lib.spectra_spgemm_nnz.restype = None
+        lib.spectra_spgemm_nnz.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, i64p, i32p, i64p, i32p, i64p,
+        ]
+        lib.spectra_spgemm_fill.restype = None
+        lib.spectra_spgemm_fill.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, i64p, i32p, f64p, i64p, i32p,
+            f64p, i64p, i32p, f64p,
+        ]
+        lib.spectra_csr_matvec.restype = None
+        lib.spectra_csr_matvec.argtypes = [
+            ctypes.c_int64, i64p, i32p, f64p, f64p, f64p,
+        ]
         _lib = lib
         return _lib
 
@@ -261,3 +275,79 @@ def laplacian2d_dia(g: int):
     offsets = np.empty(5, np.int64)
     lib.spectra_laplacian2d_dia(g, _p(data, ctypes.c_double), _p(offsets, ctypes.c_int64))
     return tuple(int(o) for o in offsets), data
+
+
+def spgemm(A, B):
+    """C = A @ B for scipy CSR matrices — threaded native Gustavson
+    (all host cores) with a scipy fallback. The engine behind the
+    Galerkin triple products of the multigrid hierarchy build
+    (linalg/multigrid.py::build_level_chain): scipy's single-core
+    spgemm made the g=243 north-star hierarchy cost 271 s."""
+    import scipy.sparse as sps
+
+    lib = _load()
+    if lib is None:
+        return (A @ B).tocsr()
+    A = A.tocsr()
+    B = B.tocsr()
+    n_rows, n_mid = A.shape
+    n_mid2, n_cols = B.shape
+    assert n_mid == n_mid2
+    Ap = np.ascontiguousarray(A.indptr, np.int64)
+    Aj = np.ascontiguousarray(A.indices, np.int32)
+    Ax = np.ascontiguousarray(A.data, np.float64)
+    Bp = np.ascontiguousarray(B.indptr, np.int64)
+    Bj = np.ascontiguousarray(B.indices, np.int32)
+    Bx = np.ascontiguousarray(B.data, np.float64)
+    row_nnz = np.empty(n_rows, np.int64)
+    lib.spectra_spgemm_nnz(
+        n_rows, n_cols, _p(Ap, ctypes.c_int64), _p(Aj, ctypes.c_int32),
+        _p(Bp, ctypes.c_int64), _p(Bj, ctypes.c_int32),
+        _p(row_nnz, ctypes.c_int64),
+    )
+    Cp = np.empty(n_rows + 1, np.int64)
+    Cp[0] = 0
+    np.cumsum(row_nnz, out=Cp[1:])
+    nnz = int(Cp[-1])
+    Cj = np.empty(nnz, np.int32)
+    Cx = np.empty(nnz, np.float64)
+    lib.spectra_spgemm_fill(
+        n_rows, n_cols, _p(Ap, ctypes.c_int64), _p(Aj, ctypes.c_int32),
+        _p(Ax, ctypes.c_double), _p(Bp, ctypes.c_int64),
+        _p(Bj, ctypes.c_int32), _p(Bx, ctypes.c_double),
+        _p(Cp, ctypes.c_int64), _p(Cj, ctypes.c_int32),
+        _p(Cx, ctypes.c_double),
+    )
+    return sps.csr_matrix((Cx, Cj, Cp), shape=(n_rows, n_cols))
+
+
+def galerkin_rap(A, P):
+    """Galerkin coarse operator P^T A P (threaded; scipy fallback)."""
+    AP = spgemm(A, P)
+    Pt = P.T.tocsr()
+    return spgemm(Pt, AP)
+
+
+def csr_matvec_builder(A):
+    """Return a threaded ``x -> A @ x`` over a scipy CSR (native; scipy
+    fallback). Used by the hierarchy build's power iteration."""
+    lib = _load()
+    A = A.tocsr()
+    if lib is None:
+        return lambda x: A @ x
+    n_rows = A.shape[0]
+    Ap = np.ascontiguousarray(A.indptr, np.int64)
+    Aj = np.ascontiguousarray(A.indices, np.int32)
+    Ax = np.ascontiguousarray(A.data, np.float64)
+
+    def mv(x):
+        x = np.ascontiguousarray(x, np.float64)
+        y = np.empty(n_rows, np.float64)
+        lib.spectra_csr_matvec(
+            n_rows, _p(Ap, ctypes.c_int64), _p(Aj, ctypes.c_int32),
+            _p(Ax, ctypes.c_double), _p(x, ctypes.c_double),
+            _p(y, ctypes.c_double),
+        )
+        return y
+
+    return mv

@@ -18,6 +18,7 @@
 #include <cstdio>
 #include <cstring>
 #include <numeric>
+#include <thread>
 #include <vector>
 
 extern "C" {
@@ -265,6 +266,140 @@ void spectra_laplacian2d_dia(int64_t g, double* data, int64_t* offsets) {
     data[3 * n + i] = (c < g - 1) ? -1.0 : 0.0;
     data[4 * n + i] = (r < g - 1) ? -1.0 : 0.0;
   }
+}
+
+// ---------------------------------------------------------------------------
+// Threaded CSR x CSR product (Gustavson with per-thread last-seen
+// masks) — the host-side engine behind the Galerkin triple products
+// P^T A P of the multigrid hierarchy build (linalg/multigrid.py).
+// scipy's single-core spgemm made the g=243 north-star hierarchy cost
+// 271 s (~19% of end-to-end); row-parallel Gustavson over all cores
+// runs the same products at memory speed.
+//
+// Two passes, both row-parallel over [0, n_rows):
+//   spectra_spgemm_nnz  fills Cp[i+1] with nnz(row i) (caller cumsums)
+//   spectra_spgemm_fill writes Cj/Cx given the final Cp (rows sorted)
+// ---------------------------------------------------------------------------
+
+static void spgemm_nnz_range(int64_t r0, int64_t r1, int64_t n_cols,
+                             const int64_t* Ap, const int32_t* Aj,
+                             const int64_t* Bp, const int32_t* Bj,
+                             int64_t* row_nnz) {
+  std::vector<int64_t> mask(static_cast<size_t>(n_cols), -1);
+  for (int64_t i = r0; i < r1; ++i) {
+    int64_t cnt = 0;
+    for (int64_t ka = Ap[i]; ka < Ap[i + 1]; ++ka) {
+      int32_t j = Aj[ka];
+      for (int64_t kb = Bp[j]; kb < Bp[j + 1]; ++kb) {
+        int32_t c = Bj[kb];
+        if (mask[c] != i) {
+          mask[c] = i;
+          ++cnt;
+        }
+      }
+    }
+    row_nnz[i] = cnt;
+  }
+}
+
+static void spgemm_fill_range(int64_t r0, int64_t r1, int64_t n_cols,
+                              const int64_t* Ap, const int32_t* Aj,
+                              const double* Ax, const int64_t* Bp,
+                              const int32_t* Bj, const double* Bx,
+                              const int64_t* Cp, int32_t* Cj, double* Cx) {
+  std::vector<int64_t> mask(static_cast<size_t>(n_cols), -1);
+  std::vector<double> acc(static_cast<size_t>(n_cols), 0.0);
+  std::vector<int32_t> cols;
+  for (int64_t i = r0; i < r1; ++i) {
+    cols.clear();
+    for (int64_t ka = Ap[i]; ka < Ap[i + 1]; ++ka) {
+      int32_t j = Aj[ka];
+      double va = Ax[ka];
+      for (int64_t kb = Bp[j]; kb < Bp[j + 1]; ++kb) {
+        int32_t c = Bj[kb];
+        if (mask[c] != i) {
+          mask[c] = i;
+          acc[c] = va * Bx[kb];
+          cols.push_back(c);
+        } else {
+          acc[c] += va * Bx[kb];
+        }
+      }
+    }
+    std::sort(cols.begin(), cols.end());
+    int64_t out = Cp[i];
+    for (int32_t c : cols) {
+      Cj[out] = c;
+      Cx[out] = acc[c];
+      ++out;
+    }
+  }
+}
+
+static int64_t spgemm_nthreads(int64_t n_rows) {
+  int64_t hw = static_cast<int64_t>(std::thread::hardware_concurrency());
+  if (hw < 1) hw = 1;
+  int64_t t = n_rows / 65536;  // at least ~64k rows per thread
+  if (t < 1) t = 1;
+  return std::min(hw, t);
+}
+
+// Pass 1: row_nnz[i] = nnz of C row i (caller builds Cp by cumsum).
+void spectra_spgemm_nnz(int64_t n_rows, int64_t n_cols,
+                        const int64_t* Ap, const int32_t* Aj,
+                        const int64_t* Bp, const int32_t* Bj,
+                        int64_t* row_nnz) {
+  int64_t nt = spgemm_nthreads(n_rows);
+  std::vector<std::thread> threads;
+  int64_t step = (n_rows + nt - 1) / nt;
+  for (int64_t t = 0; t < nt; ++t) {
+    int64_t r0 = t * step, r1 = std::min(n_rows, r0 + step);
+    if (r0 >= r1) break;
+    threads.emplace_back(spgemm_nnz_range, r0, r1, n_cols, Ap, Aj, Bp,
+                         Bj, row_nnz);
+  }
+  for (auto& th : threads) th.join();
+}
+
+// Pass 2: fill Cj/Cx (Cp from pass 1's cumsum). Rows come out sorted.
+void spectra_spgemm_fill(int64_t n_rows, int64_t n_cols,
+                         const int64_t* Ap, const int32_t* Aj,
+                         const double* Ax, const int64_t* Bp,
+                         const int32_t* Bj, const double* Bx,
+                         const int64_t* Cp, int32_t* Cj, double* Cx) {
+  int64_t nt = spgemm_nthreads(n_rows);
+  std::vector<std::thread> threads;
+  int64_t step = (n_rows + nt - 1) / nt;
+  for (int64_t t = 0; t < nt; ++t) {
+    int64_t r0 = t * step, r1 = std::min(n_rows, r0 + step);
+    if (r0 >= r1) break;
+    threads.emplace_back(spgemm_fill_range, r0, r1, n_cols, Ap, Aj, Ax,
+                         Bp, Bj, Bx, Cp, Cj, Cx);
+  }
+  for (auto& th : threads) th.join();
+}
+
+// Threaded CSR matvec y = A x (the hierarchy build's power-iteration
+// driver; scipy's csr_matvec is single-core).
+void spectra_csr_matvec(int64_t n_rows, const int64_t* Ap,
+                        const int32_t* Aj, const double* Ax,
+                        const double* x, double* y) {
+  int64_t nt = spgemm_nthreads(n_rows);
+  std::vector<std::thread> threads;
+  int64_t step = (n_rows + nt - 1) / nt;
+  auto work = [&](int64_t r0, int64_t r1) {
+    for (int64_t i = r0; i < r1; ++i) {
+      double acc = 0.0;
+      for (int64_t k = Ap[i]; k < Ap[i + 1]; ++k) acc += Ax[k] * x[Aj[k]];
+      y[i] = acc;
+    }
+  };
+  for (int64_t t = 0; t < nt; ++t) {
+    int64_t r0 = t * step, r1 = std::min(n_rows, r0 + step);
+    if (r0 >= r1) break;
+    threads.emplace_back(work, r0, r1);
+  }
+  for (auto& th : threads) th.join();
 }
 
 }  // extern "C"

@@ -180,8 +180,12 @@ def sharded_stencil_shift_solve(
     cheb_interval=None,
     method: str = "auto",
     grid_dims=None,
+    b_csr=None,
 ):
     """Distributed shift-invert operator: ``(A - sigma I)^{-1} x``
+    — or the generalized ``(A - sigma B)^{-1} x`` when ``b_csr`` is
+    given (the SymGEigsShiftSolver at-scale seam; reference:
+    SymShiftInvert.h:218-227 factors A - sigma B serially)
     with every vector of the inner iteration row-sharded.
 
     ``method="auto"`` (and ``"mg"``) first tries the SHARDED geometric
@@ -205,7 +209,12 @@ def sharded_stencil_shift_solve(
 
     csr = csr.tocsr()
     n = csr.shape[0]
-    shifted = (csr - sigma * sps.eye(n, dtype=csr.dtype, format="csr")).tocsr()
+    metric = (
+        b_csr.tocsr()
+        if b_csr is not None
+        else sps.eye(n, dtype=csr.dtype, format="csr")
+    )
+    shifted = (csr - sigma * metric).tocsr()
     op = ShardedStencilMatProd.create(dia_from_scipy(shifted), mesh, axis)
 
     mg_state = None

@@ -233,6 +233,141 @@ class DiaMatrix:
         return A
 
 
+@pytree_dataclass(meta_fields=("offsets", "n_rows", "n_cols", "chunk"))
+class DiaHiLoMatrix:
+    """DIA matrix stored as native f32 hi/lo planes — the HBM-resident
+    f64 SpMV format for TPU (no-native-f64) chips.
+
+    ``data_hi + data_lo`` is a two-term decomposition of the f64
+    diagonals (hi = f32(a), lo = f32(a - hi); residual <= 2^-48
+    relative — a backward perturbation of A far under any solver
+    tolerance), padded to a
+    multiple of ``chunk`` so the Pallas kernel
+    (:func:`spectra_tpu.ops.dia_ds.dia_spmv_ds_padded`) pays no
+    per-call pad sweep. ``matvec`` runs the fused double-single kernel
+    on TPU (one HBM pass over all diagonals, ~2^-48 relative accuracy;
+    3.3x the XLA f64 lowering at the 100M-nnz scale) and falls back to
+    the exact f64 :class:`DiaMatrix` path elsewhere.
+
+    Reference hot op: include/Spectra/MatOp/SparseSymMatProd.h:83-89.
+    """
+
+    data_hi: jnp.ndarray  # (d, n_pad) f32
+    data_lo: jnp.ndarray  # (d, n_pad) f32
+    offsets: tuple
+    n_rows: int
+    n_cols: int
+    chunk: int
+
+    @property
+    def dtype(self):
+        return jnp.dtype(jnp.float64)
+
+    @property
+    def nnz(self) -> int:
+        return int(self.data_hi.shape[0] * self.n_rows)
+
+    @classmethod
+    def from_dia(cls, dia: "DiaMatrix", chunk: int | None = None):
+        from spectra_tpu.ops.dia_ds import DEFAULT_CHUNK, split_f64
+
+        chunk = int(chunk or DEFAULT_CHUNK)
+        n_pad = (dia.n_rows + chunk - 1) // chunk * chunk
+        data = jnp.asarray(dia.data, jnp.float64)
+        hi, lo = split_f64(jnp.pad(data, ((0, 0), (0, n_pad - dia.n_rows))))
+        return cls(
+            data_hi=hi,
+            data_lo=lo,
+            offsets=dia.offsets,
+            n_rows=dia.n_rows,
+            n_cols=dia.n_cols,
+            chunk=chunk,
+        )
+
+    def to_dia(self) -> "DiaMatrix":
+        """Exact f64 DiaMatrix (the planes' sum) — the fallback and
+        compatibility path for non-matvec access."""
+        from spectra_tpu.ops.dia_ds import combine_f64
+
+        return DiaMatrix(
+            data=combine_f64(self.data_hi, self.data_lo)[:, : self.n_rows],
+            offsets=self.offsets,
+            n_rows=self.n_rows,
+            n_cols=self.n_cols,
+        )
+
+    @property
+    def data(self):  # compatibility: logical f64 diagonals
+        return self.to_dia().data
+
+    def matvec(self, x):
+        import jax as _jax
+
+        from spectra_tpu.ops.dia_ds import (
+            combine_f64,
+            dia_spmv_ds_padded,
+            split_f64,
+        )
+
+        if _jax.default_backend() != "tpu" or x.dtype != jnp.float64:
+            return self.to_dia().matvec(x)
+        xh, xl = split_f64(x)
+        yh, yl = dia_spmv_ds_padded(
+            self.data_hi,
+            self.data_lo,
+            xh,
+            xl,
+            offsets=self.offsets,
+            n=self.n_rows,
+            chunk=self.chunk,
+        )
+        return combine_f64(yh, yl)
+
+    def matmat(self, X):
+        return self.to_dia().matmat(X)
+
+    def rmatvec(self, x):
+        return self.to_dia().rmatvec(x)
+
+    def element(self, i, j):
+        return self.to_dia().element(i, j)
+
+    def diagonal(self):
+        return self.to_dia().diagonal()
+
+    def to_dense(self):
+        return self.to_dia().to_dense()
+
+
+#: working-set bytes above which the f64 XLA DIA path stops being
+#: VMEM-resident in-loop and the hi/lo Pallas kernel wins (measured:
+#: 1M-row 5-diag 2-D stencil [56 MB] stays VMEM-resident at 52 Gnnz/s;
+#: 14.35M-row 7-diag [1 GB] runs 6 Gnnz/s XLA vs 19.6 hi/lo).
+HILO_BYTES_THRESHOLD = 120 * 1024 * 1024
+
+
+def maybe_hilo(dia, threshold: int | None = None):
+    """Route a DiaMatrix to hi/lo-plane storage when the TPU backend
+    is active and the SpMV working set exceeds VMEM residency."""
+    if not isinstance(dia, DiaMatrix):
+        return dia
+    if dia.dtype != jnp.float64:
+        return dia
+    import jax as _jax
+
+    if _jax.default_backend() != "tpu":
+        return dia
+    from spectra_tpu.ops.dia_ds import hilo_suitable
+
+    d = dia.data.shape[0]
+    work = (d + 2) * 8 * dia.n_rows
+    if work < (HILO_BYTES_THRESHOLD if threshold is None else threshold):
+        return dia
+    if not hilo_suitable(dia.offsets, dia.n_rows):
+        return dia
+    return DiaHiLoMatrix.from_dia(dia)
+
+
 def dia_from_scipy(sp_mat, dtype=None) -> DiaMatrix:
     """Build a row-aligned :class:`DiaMatrix` from scipy sparse."""
     dia = sp_mat.todia()
