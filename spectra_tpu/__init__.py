@@ -90,6 +90,7 @@ def __getattr__(name):
         "SparseRegularInverse": "spectra_tpu.matop.regular_inverse",
         "SymShiftInvert": "spectra_tpu.matop.sym_shift_invert",
         "RealEmbeddedHermMatProd": "spectra_tpu.matop.herm_embed",
+        "RealEmbeddedGenMatProd": "spectra_tpu.matop.gen_embed",
         # Solvers
         "SymEigsSolver": "spectra_tpu.solvers.sym_eigs",
         "SymEigsShiftSolver": "spectra_tpu.solvers.sym_eigs_shift",

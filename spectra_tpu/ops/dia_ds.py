@@ -171,11 +171,42 @@ def dia_spmv_ds_padded(
     return yh[:n], yl[:n]
 
 
-def hilo_suitable(offsets, n, chunk=DEFAULT_CHUNK) -> bool:
-    """Kernel applicability: the x window (chunk + span) for all
-    diagonals must fit the VMEM working-set budget."""
+#: scoped-VMEM budget for the kernel working set (the TPU compiler's
+#: scoped limit is 16 MB; leave headroom for pipeline bookkeeping).
+_VMEM_BUDGET = 14 * 1024 * 1024
+
+
+def _vmem_estimate(d, chunk, span):
+    """Scoped-VMEM bytes of one kernel invocation: double-buffered
+    (x-window hi/lo + data hi/lo + y hi/lo) blocks plus the in-kernel
+    Dekker-split window temps."""
+    win = _round_up(chunk + span, 1024)
+    x = 2 * (2 * win * 4)
+    data = 2 * (2 * d * chunk * 4)
+    y = 2 * (2 * chunk * 4)
+    temps = 2 * win * 4
+    return x + data + y + temps
+
+
+def pick_hilo_chunk(offsets, d) -> int | None:
+    """Largest chunk whose working set fits the scoped-VMEM budget
+    with acceptable x-window re-read amplification; None when the
+    kernel does not apply (huge spans / too many diagonals — e.g. the
+    27-diagonal Galerkin level-1 operator needs chunk 16384, and a
+    100+-diagonal operator falls back to the XLA path)."""
     if _Element is None:
-        return False
+        return None
     lo = max(0, -min(offsets))
     hi = max(0, max(offsets))
-    return (lo + hi) <= 4 * chunk
+    span = lo + hi
+    for chunk in (65536, 49152, 32768, 16384, 8192):
+        if span > 4 * chunk:  # x re-read amplification cap (~5x)
+            continue
+        if _vmem_estimate(d, chunk, span) <= _VMEM_BUDGET:
+            return chunk
+    return None
+
+
+def hilo_suitable(offsets, n, chunk=None) -> bool:
+    """Kernel applicability (see :func:`pick_hilo_chunk`)."""
+    return pick_hilo_chunk(offsets, len(offsets)) is not None

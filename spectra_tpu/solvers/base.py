@@ -137,6 +137,35 @@ class HermEigsBase:
             raise ValueError("reorth method must be 'full' or 'selective'")
         self._reorth = method
 
+    def set_precision(self, mode: str):
+        """``"double"`` (default): everything in the operator dtype.
+        ``"mixed"``: run the whole restarted Lanczos in native f32 (the
+        ~12x SpMV path on TPU) and refine the converged subspace ONCE
+        with an f64 Rayleigh-Ritz against the original operator —
+        accepts ``tol >= 1e-6`` (the f32 residual floor), delivers
+        1e-9-grade eigenvalues on gapped spectra, and reports
+        re-measured f64 residuals via :meth:`mixed_report`. See
+        solvers/mixed.py for the error model. Plain symmetric MatProd
+        drivers only (no shift/generalized modes)."""
+        if mode not in ("double", "mixed"):
+            raise ValueError("precision must be 'double' or 'mixed'")
+        if mode == "mixed" and (
+            self._has_bop or type(self)._ritz_transform is not None
+        ):
+            raise ValueError(
+                "mixed precision applies to the plain symmetric solver "
+                "(shift/generalized modes couple inner tolerances in f64)"
+            )
+        self._precision = mode
+
+    def mixed_report(self) -> dict:
+        """After a mixed-precision compute: the re-measured f64
+        residual norms per returned eigenpair."""
+        vals, _, resid = getattr(
+            self, "_mixed", (np.zeros(0), None, np.zeros(0))
+        )
+        return {"values": vals, "resid_f64": resid}
+
     def _eff_mode(self) -> str:
         if (
             self._mode == "lanczos"
@@ -258,6 +287,7 @@ class HermEigsBase:
         self._niter = 0
         self._nops = 0
         self._result = None
+        self._mixed = None
 
     # -- computation -----------------------------------------------------
     def compute(
@@ -270,6 +300,11 @@ class HermEigsBase:
         """Run the solver; returns the number of converged eigenvalues."""
         if self._v0 is None:
             self.init()
+        self._mixed = None
+        if getattr(self, "_precision", "double") == "mixed":
+            from spectra_tpu.solvers.mixed import compute_mixed
+
+            return compute_mixed(self, selection, maxit, tol, sorting)
         from spectra_tpu.matop.shift_solve import couple_inner_tolerance
 
         self._arnop = couple_inner_tolerance(self._arnop, tol)
@@ -789,6 +824,8 @@ class HermEigsBase:
 
     def eigenvalues(self) -> np.ndarray:
         """Converged eigenvalues (real), in the requested sorting order."""
+        if getattr(self, "_mixed", None) is not None:
+            return self._mixed[0]
         if self._result is None:
             return np.zeros((0,), jnp.finfo(self._dtype).dtype)
         res = self._result
@@ -796,6 +833,9 @@ class HermEigsBase:
 
     def eigenvectors(self, nvec: int | None = None) -> np.ndarray:
         """Eigenvectors of the converged eigenvalues (columns)."""
+        if getattr(self, "_mixed", None) is not None:
+            V = self._mixed[1]
+            return V if nvec is None else V[:, : min(nvec, V.shape[1])]
         if self._result is None:
             return np.zeros((self._n, 0), self._dtype)
         res = self._result

@@ -18,6 +18,8 @@ Example
 >>> nconv = eigs.compute(st.SortRule.LargestMagn)
 """
 
+import numpy as np
+
 from spectra_tpu.solvers.gen_base import GenEigsBase
 
 
@@ -28,4 +30,83 @@ class GenEigsSolver(GenEigsBase):
     ``perform_op(x)`` — real or complex dtype; e.g.
     :class:`~spectra_tpu.matop.dense.DenseGenMatProd` or
     :class:`~spectra_tpu.matop.sparse.SparseGenMatProd`.
+
+    Complex matrices on complex-free accelerators: pass a
+    :class:`~spectra_tpu.matop.gen_embed.RealEmbeddedGenMatProd` —
+    the solve then runs the REAL IRAM on the 2n embedding
+    M = [[Re C, -Im C], [Im C, Re C]] and recovers the complex
+    eigenpairs (phantom-filtered, J-orbit-deduped; see
+    matop/gen_embed.py). Reference capability:
+    GenEigsSolver.h:159-186 (complex scalar, v1.2.0).
     """
+
+    def __init__(self, op, nev: int, ncv: int, bop=None):
+        from spectra_tpu.matop.gen_embed import RealEmbeddedGenMatProd
+
+        if isinstance(op, RealEmbeddedGenMatProd) and type(
+            self
+        ) is GenEigsSolver:
+            self.__class__ = EmbeddedGenEigsSolver
+            EmbeddedGenEigsSolver.__init__(self, op, nev, ncv)
+            return
+        GenEigsBase.__init__(self, op, nev, ncv, bop=bop)
+
+
+class EmbeddedGenEigsSolver(GenEigsSolver):
+    """General complex eigenpairs through the real 2n embedding.
+
+    Each C-eigenpair occupies two slots of the embedding's spectrum
+    (its value and its conjugate's phantom), so the inner real solve
+    asks for ``2 nev`` pairs; ``compute`` then phantom-filters,
+    dedupes, and returns up to ``nev`` complex eigenpairs of C ordered
+    by ``sorting``.
+    """
+
+    def __init__(self, op, nev: int, ncv: int):
+        self._embed = op
+        self._user_nev = int(nev)
+        n2 = op.rows()
+        inner_nev = min(2 * nev, n2 - 2)
+        inner_ncv = int(min(max(2 * ncv, inner_nev + 3), n2))
+        GenEigsBase.__init__(self, op, inner_nev, inner_ncv)
+        self._cvals = np.zeros(0, np.complex128)
+        self._cvecs = np.zeros((op.n_orig, 0), np.complex128)
+
+    def init(self, resid=None):
+        if resid is not None:
+            resid = np.asarray(resid)
+            if np.iscomplexobj(resid):
+                # complex length-n start -> its realification
+                resid = np.concatenate([resid.real, resid.imag])
+        super().init(resid)
+
+    def compute(
+        self,
+        selection=None,
+        maxit: int = 1000,
+        tol: float = 1e-10,
+        sorting=None,
+    ) -> int:
+        from spectra_tpu.util.selection import SortRule, argsort_np
+
+        selection = SortRule.LargestMagn if selection is None else selection
+        sorting = SortRule.LargestMagn if sorting is None else sorting
+        super().compute(selection, maxit, tol, sorting)
+        vals = super().eigenvalues()
+        vecs = super().eigenvectors()
+        cvals, cvecs = self._embed.map_ritz_pairs(vals, vecs)
+        if len(cvals):
+            order = np.asarray(argsort_np(sorting, cvals))
+            cvals, cvecs = cvals[order], cvecs[:, order]
+        self._cvals = cvals[: self._user_nev]
+        self._cvecs = cvecs[:, : self._user_nev]
+        return len(self._cvals)
+
+    def eigenvalues(self):
+        return self._cvals
+
+    def eigenvectors(self, nvec=None):
+        nvec = len(self._cvals) if nvec is None else min(
+            nvec, self._cvals.shape[0]
+        )
+        return self._cvecs[:, :nvec]

@@ -269,9 +269,16 @@ class DiaHiLoMatrix:
 
     @classmethod
     def from_dia(cls, dia: "DiaMatrix", chunk: int | None = None):
-        from spectra_tpu.ops.dia_ds import DEFAULT_CHUNK, split_f64
+        from spectra_tpu.ops.dia_ds import pick_hilo_chunk, split_f64
 
-        chunk = int(chunk or DEFAULT_CHUNK)
+        if chunk is None:
+            chunk = pick_hilo_chunk(dia.offsets, dia.data.shape[0])
+            if chunk is None:
+                raise ValueError(
+                    "DIA shape does not fit the hi/lo kernel VMEM "
+                    "budget (see ops.dia_ds.pick_hilo_chunk)"
+                )
+        chunk = int(chunk)
         n_pad = (dia.n_rows + chunk - 1) // chunk * chunk
         data = jnp.asarray(dia.data, jnp.float64)
         hi, lo = split_f64(jnp.pad(data, ((0, 0), (0, n_pad - dia.n_rows))))
@@ -357,15 +364,16 @@ def maybe_hilo(dia, threshold: int | None = None):
 
     if _jax.default_backend() != "tpu":
         return dia
-    from spectra_tpu.ops.dia_ds import hilo_suitable
+    from spectra_tpu.ops.dia_ds import pick_hilo_chunk
 
     d = dia.data.shape[0]
     work = (d + 2) * 8 * dia.n_rows
     if work < (HILO_BYTES_THRESHOLD if threshold is None else threshold):
         return dia
-    if not hilo_suitable(dia.offsets, dia.n_rows):
+    chunk = pick_hilo_chunk(dia.offsets, d)
+    if chunk is None:
         return dia
-    return DiaHiLoMatrix.from_dia(dia)
+    return DiaHiLoMatrix.from_dia(dia, chunk=chunk)
 
 
 def dia_from_scipy(sp_mat, dtype=None) -> DiaMatrix:
