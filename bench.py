@@ -359,56 +359,6 @@ def _bench_gen_sparse():
     }
 
 
-def _bench_mixed_precision():
-    """Mixed-precision mode (solvers/mixed.py): the whole restarted
-    Lanczos in native f32 + one iterated f64 Rayleigh-Ritz refinement,
-    vs the same solve all-f64 — capability the all-double reference
-    does not have. n=1M banded (DIA) matrix with a spread diagonal,
-    k=10 largest, tol=1e-6 (the documented mixed floor)."""
-    import spectra_tpu as st
-    from spectra_tpu.util.rng import SimpleRandom
-
-    n, k = 1_000_000, 10
-    d = np.linspace(1.0, 100.0, n) ** 2
-    A = sps.diags(
-        [np.full(n, 0.25), np.full(n, 0.5), d, np.full(n, 0.5),
-         np.full(n, 0.25)],
-        [-1000, -1, 0, 1, 1000], shape=(n, n), format="csr",
-    )
-    v0 = SimpleRandom(0).random_vec(n)
-
-    def run(precision, tol):
-        op = st.SparseSymMatProd.from_full(A)
-        s = st.SymEigsSolver(op, nev=k, ncv=30)
-        s.set_precision(precision)
-        s.init(v0)
-        t0 = time.perf_counter()
-        nconv = s.compute(st.SortRule.LargestAlge, maxit=500, tol=tol)
-        wall = time.perf_counter() - t0
-        return nconv, wall, np.sort(np.asarray(s.eigenvalues()))[::-1], s
-
-    nc_m, wall_m, vals_m, s_m = run("mixed", 1e-6)
-    nc_d, wall_d, vals_d, _ = run("double", 1e-10)
-    err = (
-        float(np.abs(vals_m[: min(nc_m, nc_d)] - vals_d[: min(nc_m, nc_d)]).max())
-        if nc_m and nc_d
-        else None
-    )
-    rep = s_m.mixed_report()
-    return {
-        "n": n,
-        "nnz": int(A.nnz),
-        "nconv_mixed": int(nc_m),
-        "wall_mixed_s": wall_m,
-        "wall_double_s": wall_d,
-        "speedup_vs_double": wall_d / wall_m if wall_m else None,
-        "eval_err_vs_double": err,
-        "max_resid_f64": float(np.max(rep["resid_f64"]))
-        if len(rep["resid_f64"])
-        else None,
-    }
-
-
 def _bench_davidson():
     """Config #5's second half: DavidsonSymEigsSolver at scale
     (reference: DavidsonSymEigsSolver.h:31-89). Davidson/DPR is built
@@ -588,11 +538,7 @@ def main():
     except Exception as err:
         _keep_stale("davidson_250k_k10", err)
     _flush()
-    try:
-        details["mixed_precision_1M_k10"] = _bench_mixed_precision()
-    except Exception as err:
-        _keep_stale("mixed_precision_1M_k10", err)
-    _flush()
+
 
     # Shift-invert at n=1e6 LAST: on the remote accelerator a long
     # inner-solve execution can crash the worker (recovery takes
@@ -681,6 +627,34 @@ def main():
         details["generalized_1M_k10"] = rec
     except Exception as err:
         _keep_stale("generalized_1M_k10", err)
+    _flush()
+
+    # Mixed-precision mode at n=1M, LAST and subprocess-contained: the
+    # f32 twin solve can crash the remote worker (observed "kernel
+    # fault"), which must not cost any entry above.
+    try:
+        out = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(
+                    os.path.dirname(__file__), "scripts", "tpu_mixed_1m.py"
+                ),
+            ],
+            timeout=1800,
+            capture_output=True,
+            text=True,
+        )
+        rec = None
+        for line in out.stdout.splitlines():
+            if line.startswith("{"):
+                rec = json.loads(line)
+        if rec is None:
+            raise RuntimeError(
+                f"no result line; stderr tail: {out.stderr[-500:]}"
+            )
+        details["mixed_precision_1M_k10"] = rec
+    except Exception as err:
+        _keep_stale("mixed_precision_1M_k10", err)
     _flush()
 
 

@@ -420,14 +420,15 @@ def mg_state_from_chain(
     levels, coarse_inv, dims_per_level, boundary, nu1=2, nu2=2, dtype=None
 ):
     """Assemble a single-device :class:`MGState` from a host chain."""
-    from spectra_tpu.sparse.formats import dia_from_scipy, maybe_hilo
+    from spectra_tpu.sparse.formats import dia_device_from_scipy
 
     cast = (lambda a: a) if dtype is None else (lambda a: a.astype(dtype))
     return MGState(
         # HBM-resident fine levels route to the hi/lo-plane Pallas
-        # SpMV on TPU (ops/dia_ds.py); coarse levels stay XLA DIA.
+        # SpMV on TPU (ops/dia_ds.py, host-side split); coarse levels
+        # stay XLA DIA.
         ops=tuple(
-            maybe_hilo(dia_from_scipy(lv["csr"], dtype=dtype))
+            dia_device_from_scipy(lv["csr"], dtype=dtype)
             for lv in levels
         ),
         inv_diags=tuple(jnp.asarray(cast(lv["inv_diag"])) for lv in levels),

@@ -660,10 +660,9 @@ def build_shifted_iterative(
     between O(1) cycles and O(sqrt(kappa)) iterations per inner solve.
     """
     from spectra_tpu.sparse.formats import (
-        dia_from_scipy,
+        dia_device_from_scipy,
         dia_suitability,
         ell_from_scipy,
-        maybe_hilo,
     )
 
     n = shifted.shape[0]
@@ -673,7 +672,7 @@ def build_shifted_iterative(
     # f64 stencils further route to the fused double-single Pallas
     # kernel (ops/dia_ds.py, 3.3x at 100M nnz).
     if dia_suitability(shifted):
-        device_mat = maybe_hilo(dia_from_scipy(shifted))
+        device_mat = dia_device_from_scipy(shifted)
     else:
         device_mat = ell_from_scipy(shifted)
     mg_state = None

@@ -22,11 +22,11 @@ from spectra_tpu.sparse.formats import (
     DiaHiLoMatrix,
     DiaMatrix,
     EllMatrix,
+    dia_device_from_scipy,
     dia_from_scipy,
     dia_suitability,
     ell_from_dense,
     ell_from_scipy,
-    maybe_hilo,
     symmetrize_scipy,
 )
 from spectra_tpu.util.pytree import pytree_dataclass
@@ -45,10 +45,12 @@ def _to_ell(mat, dtype=None, format: str = "auto"):
         if format == "dia_hilo":
             return DiaHiLoMatrix.from_dia(dia_from_scipy(mat, dtype=dtype))
         if format == "dia" or (format == "auto" and dia_suitability(mat)):
-            dia = dia_from_scipy(mat, dtype=dtype)
-            # HBM-resident f64 stencils on TPU route to the fused
-            # double-single Pallas kernel (ops/dia_ds.py, 3.3x).
-            return maybe_hilo(dia) if format == "auto" else dia
+            if format == "auto":
+                # HBM-resident f64 stencils on TPU route to the fused
+                # double-single Pallas kernel (ops/dia_ds.py, 3.3x),
+                # with the hi/lo split done host-side before transfer.
+                return dia_device_from_scipy(mat, dtype=dtype)
+            return dia_from_scipy(mat, dtype=dtype)
         return ell_from_scipy(mat, dtype=dtype)
     mat = np.asarray(mat, dtype=dtype)
     if format == "dia":

@@ -137,7 +137,13 @@ def compute_mixed(solver, selection, maxit, tol, sorting) -> int:
         if v0 is not None and not isinstance(v0, jax.Array)
         else (jnp.asarray(v0, jnp.float32) if v0 is not None else None)
     )
-    nconv32 = twin.compute(selection, maxit=maxit, tol=tol, sorting=sorting)
+    # Full-f32 MXU accumulation: TPU's default f32 matmul precision is
+    # the 3-pass bf16 decomposition, whose ~2^-14-grade products would
+    # cap the twin's basis orthogonality far below f32.
+    with jax.default_matmul_precision("float32"):
+        nconv32 = twin.compute(
+            selection, maxit=maxit, tol=tol, sorting=sorting
+        )
     solver._niter = twin.num_iterations()
     solver._nops = twin.num_operations()
     if nconv32 == 0:
@@ -148,11 +154,26 @@ def compute_mixed(solver, selection, maxit, tol, sorting) -> int:
         return 0
     U = np.asarray(twin.eigenvectors(), np.float64)
     theta, V, resid = _refine_rounds(solver._op, U, selection, sorting)
+    # Convergence gate on the RE-MEASURED f64 residuals: the f32
+    # iteration cannot resolve relative gaps below ~eps_f32, and a
+    # subspace it failed on must not be reported Successful (ARPACK
+    # test shape: resid <= tol * max(|theta|, ||Theta||*eps^{2/3})).
+    scale = np.maximum(
+        np.abs(theta),
+        (np.abs(theta).max() if len(theta) else 1.0)
+        * np.finfo(np.float32).eps ** (2.0 / 3.0),
+    )
+    conv = resid <= tol * scale
+    theta, V, resid = theta[conv], V[:, conv], resid[conv]
     from spectra_tpu.util.selection import argsort_np
 
     order = np.asarray(argsort_np(sorting, theta))
     theta, V, resid = theta[order], V[:, order], resid[order]
     solver._mixed = (theta, V, resid)
-    solver._info = CompInfo.Successful
+    solver._info = (
+        CompInfo.Successful
+        if len(theta) == solver._nev
+        else CompInfo.NotConverging
+    )
     solver._nops += 3 * len(theta)
     return len(theta)

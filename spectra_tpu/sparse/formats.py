@@ -376,10 +376,21 @@ def maybe_hilo(dia, threshold: int | None = None):
     return DiaHiLoMatrix.from_dia(dia, chunk=chunk)
 
 
-def dia_from_scipy(sp_mat, dtype=None) -> DiaMatrix:
-    """Build a row-aligned :class:`DiaMatrix` from scipy sparse."""
-    dia = sp_mat.todia()
-    n_rows, n_cols = dia.shape
+def _dia_host_arrays(sp_mat, dtype=None):
+    """Row-aligned host DIA arrays ``(offsets, rows)`` from scipy
+    sparse — through the threaded native converter when available
+    (scipy's .todia() alone cost ~59 s at 100M nnz), scipy otherwise."""
+    csr = sp_mat.tocsr()
+    n_rows, n_cols = csr.shape
+    if csr.dtype == np.float64 and dtype in (None, np.float64):
+        from spectra_tpu import native as _native
+
+        if _native.available():
+            offsets, rows = _native.csr_to_dia(
+                n_rows, n_cols, csr.indptr, csr.indices, csr.data
+            )
+            return offsets, rows, n_rows, n_cols
+    dia = csr.todia()
     offsets = tuple(int(o) for o in dia.offsets)
     data = dia.data if dtype is None else dia.data.astype(dtype)
     # scipy aligns data[k] by column index; shift to row alignment:
@@ -392,9 +403,62 @@ def dia_from_scipy(sp_mat, dtype=None) -> DiaMatrix:
         if hi > lo:
             rows[k, lo:hi] = data[k, lo + off : hi + off]
     order = np.argsort(offsets)
+    return (
+        tuple(offsets[i] for i in order),
+        rows[order],
+        n_rows,
+        n_cols,
+    )
+
+
+def dia_from_scipy(sp_mat, dtype=None) -> DiaMatrix:
+    """Build a row-aligned :class:`DiaMatrix` from scipy sparse."""
+    offsets, rows, n_rows, n_cols = _dia_host_arrays(sp_mat, dtype)
     return DiaMatrix(
-        data=jnp.asarray(rows[order]),
-        offsets=tuple(offsets[i] for i in order),
+        data=jnp.asarray(rows),
+        offsets=offsets,
+        n_rows=n_rows,
+        n_cols=n_cols,
+    )
+
+
+def dia_device_from_scipy(sp_mat, dtype=None):
+    """DIA device storage from scipy sparse with hi/lo routing decided
+    BEFORE any device transfer: HBM-resident f64 stencils on TPU ship
+    as two f32 planes split on the host (skipping the 0.8 GB-scale
+    device f64 intermediate + emulated-f64 split that
+    ``maybe_hilo(dia_from_scipy(...))`` would pay)."""
+    offsets, rows, n_rows, n_cols = _dia_host_arrays(sp_mat, dtype)
+    d = rows.shape[0]
+    route = (
+        rows.dtype == np.float64
+        and (d + 2) * 8 * n_rows >= HILO_BYTES_THRESHOLD
+    )
+    if route:
+        import jax as _jax
+
+        route = _jax.default_backend() == "tpu"
+    if route:
+        from spectra_tpu.ops.dia_ds import pick_hilo_chunk
+
+        chunk = pick_hilo_chunk(offsets, d)
+        if chunk is not None:
+            n_pad = (n_rows + chunk - 1) // chunk * chunk
+            padded = np.zeros((d, n_pad), np.float64)
+            padded[:, :n_rows] = rows
+            hi = padded.astype(np.float32)
+            lo = (padded - hi.astype(np.float64)).astype(np.float32)
+            return DiaHiLoMatrix(
+                data_hi=jnp.asarray(hi),
+                data_lo=jnp.asarray(lo),
+                offsets=offsets,
+                n_rows=n_rows,
+                n_cols=n_cols,
+                chunk=chunk,
+            )
+    return DiaMatrix(
+        data=jnp.asarray(rows),
+        offsets=offsets,
         n_rows=n_rows,
         n_cols=n_cols,
     )

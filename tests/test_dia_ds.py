@@ -152,3 +152,20 @@ def test_maybe_hilo_routing():
 def test_hilo_suitable_span_guard():
     assert hilo_suitable((-1, 0, 1), 1000)
     assert not hilo_suitable((-(10**7), 0, 10**7), 10**7)
+
+
+def test_native_and_scipy_dia_conversion_identical(monkeypatch):
+    """dia_from_scipy routes through the threaded native CSR->DIA
+    converter; it must match the scipy fallback bit-for-bit."""
+    from spectra_tpu import native
+    from spectra_tpu.sparse import formats
+
+    if not native.available():
+        pytest.skip("no native toolchain")
+    A = sps.random(300, 300, density=0.03, random_state=0, format="csr")
+    d1 = formats.dia_from_scipy(A)
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_build_failed", True)
+    d2 = formats.dia_from_scipy(A)
+    assert d1.offsets == d2.offsets
+    np.testing.assert_array_equal(np.asarray(d1.data), np.asarray(d2.data))
