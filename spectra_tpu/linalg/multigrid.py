@@ -190,12 +190,51 @@ def prolong_1d_matrix(g: int, boundary: str = "clip"):
 
 def prolong_matrix(dims, boundary: str = "clip"):
     """Tensor-product prolongation for row-major ``dims``:
-    ``P = P_0 (x) P_1 (x) ...``."""
+    ``P = P_0 (x) P_1 (x) ...``.
+
+    Assembled by direct COO index broadcasting in ONE pass: scipy's
+    pairwise ``sps.kron`` materializes (and CSR-converts) every
+    intermediate product, which alone cost ~19 s of the g=243
+    hierarchy build (48M-entry final P)."""
     import scipy.sparse as sps
 
-    P = prolong_1d_matrix(dims[0], boundary)
-    for g in dims[1:]:
-        P = sps.kron(P, prolong_1d_matrix(g, boundary), format="csr")
+    # Fixed-width expansion: every 1-D factor row is padded to exactly
+    # 2 entries (its second slot a zero-valued duplicate of the first
+    # column), so the d-fold product is a dense (n, 2^d) broadcast —
+    # CSR assembles from an arithmetic indptr with NO sort; explicit
+    # zeros are dropped at the end.
+    C = np.zeros((1, 1), np.int64)
+    V = np.ones((1, 1), np.float64)
+    nr = nc = 1
+    for g in dims:
+        f = prolong_1d_matrix(g, boundary).tocsr()
+        f.sort_indices()
+        gc = f.shape[1]
+        cnt = np.diff(f.indptr)
+        c2 = np.empty((g, 2), np.int64)
+        v2 = np.zeros((g, 2), np.float64)
+        first = f.indices[f.indptr[:-1]]
+        c2[:, 0] = first
+        c2[:, 1] = first  # overwritten where a 2nd entry exists
+        v2[:, 0] = f.data[f.indptr[:-1]]
+        two = cnt == 2
+        c2[two, 1] = f.indices[f.indptr[:-1][two] + 1]
+        v2[two, 1] = f.data[f.indptr[:-1][two] + 1]
+        w = C.shape[1]
+        C = (
+            C[:, None, :, None] * gc + c2[None, :, None, :]
+        ).reshape(nr * g, w * 2)
+        V = (V[:, None, :, None] * v2[None, :, None, :]).reshape(
+            nr * g, w * 2
+        )
+        nr *= g
+        nc *= gc
+    w = C.shape[1]
+    indptr = np.arange(nr + 1, dtype=np.int64) * w
+    P = sps.csr_matrix(
+        (V.ravel(), C.ravel().astype(np.int32), indptr), shape=(nr, nc)
+    )
+    P.eliminate_zeros()
     return P
 
 
