@@ -211,6 +211,8 @@ def prolong_matrix(dims, boundary: str = "clip"):
         f.sort_indices()
         gc = f.shape[1]
         cnt = np.diff(f.indptr)
+        if cnt.max() > 2:
+            raise MGBuildError("prolongation factor wider than 2/row")
         c2 = np.empty((g, 2), np.int64)
         v2 = np.zeros((g, 2), np.float64)
         first = f.indices[f.indptr[:-1]]

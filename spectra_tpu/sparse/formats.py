@@ -358,7 +358,7 @@ def maybe_hilo(dia, threshold: int | None = None):
     is active and the SpMV working set exceeds VMEM residency."""
     if not isinstance(dia, DiaMatrix):
         return dia
-    if dia.dtype != jnp.float64:
+    if dia.dtype != jnp.float64 or dia.n_rows != dia.n_cols:
         return dia
     import jax as _jax
 
@@ -432,6 +432,7 @@ def dia_device_from_scipy(sp_mat, dtype=None):
     d = rows.shape[0]
     route = (
         rows.dtype == np.float64
+        and n_rows == n_cols  # the kernel is square-operator only
         and (d + 2) * 8 * n_rows >= HILO_BYTES_THRESHOLD
     )
     if route:
