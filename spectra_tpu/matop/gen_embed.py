@@ -135,6 +135,40 @@ class RealEmbeddedGenMatProd:
 
 
 @pytree_dataclass
+class RotatedEmbeddedGenMatProd:
+    """The realification of ``C' = -i C`` over an existing embedding:
+    ``M' = (-J) M`` with J = [[0, -I], [I, 0]] — one concat swap per
+    matvec, no new matrix. Since C' shares C's eigenvectors with
+    ``lambda' = -i lambda``, selecting Largest/SmallestREAL on C'
+    equals Largest/SmallestIMAG on C — the rotation that makes the
+    imaginary-part selection rules well-posed on the conjugate-
+    symmetric embedded spectrum (on M itself, LI degenerates to
+    largest |Im|)."""
+
+    embed: RealEmbeddedGenMatProd
+
+    @property
+    def dtype(self):
+        return self.embed.dtype
+
+    @property
+    def n_orig(self) -> int:
+        return self.embed.n_orig
+
+    def rows(self) -> int:
+        return self.embed.rows()
+
+    def cols(self) -> int:
+        return self.embed.cols()
+
+    def perform_op(self, v):
+        w = self.embed.perform_op(v)
+        n = self.embed.n_orig
+        # -J w = (w_bottom, -w_top)
+        return jnp.concatenate([w[..., n:], -w[..., :n]], axis=-1)
+
+
+@pytree_dataclass
 class _DenseEmbeddedBlocks:
     """M @ v via four real GEMVs without materializing the 2n matrix
     (same flops as one complex GEMV)."""

@@ -91,9 +91,36 @@ class EmbeddedGenEigsSolver(GenEigsSolver):
 
         selection = SortRule.LargestMagn if selection is None else selection
         sorting = SortRule.LargestMagn if sorting is None else sorting
-        super().compute(selection, maxit, tol, sorting)
-        vals = super().eigenvalues()
-        vecs = super().eigenvectors()
+        if selection in (SortRule.LargestImag, SortRule.SmallestImag):
+            # Imag-part rules degenerate on the conjugate-symmetric
+            # embedded spectrum (LI of M = largest |Im| of C). Rotate:
+            # run Largest/SmallestREAL on the realification of -iC
+            # (a free block swap) and map lambda = i lambda' back.
+            from spectra_tpu.matop.gen_embed import (
+                RotatedEmbeddedGenMatProd,
+            )
+
+            inner_sel = (
+                SortRule.LargestReal
+                if selection == SortRule.LargestImag
+                else SortRule.SmallestReal
+            )
+            rot = GenEigsBase(
+                RotatedEmbeddedGenMatProd(embed=self._embed),
+                self._nev,
+                self._ncv,
+            )
+            rot.init(np.asarray(self._v0) if self._v0 is not None else None)
+            rot.compute(inner_sel, maxit, tol, inner_sel)
+            self._niter = rot.num_iterations()
+            self._nops = rot.num_operations()
+            self._info = rot.info()
+            vals = 1j * np.asarray(rot.eigenvalues())
+            vecs = np.asarray(rot.eigenvectors())
+        else:
+            super().compute(selection, maxit, tol, sorting)
+            vals = super().eigenvalues()
+            vecs = super().eigenvectors()
         cvals, cvecs = self._embed.map_ritz_pairs(vals, vecs)
         if len(cvals):
             order = np.asarray(argsort_np(sorting, cvals))

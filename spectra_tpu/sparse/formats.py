@@ -331,7 +331,15 @@ class DiaHiLoMatrix:
         return combine_f64(yh, yl)
 
     def matmat(self, X):
-        return self.to_dia().matmat(X)
+        import jax as _jax
+
+        if _jax.default_backend() != "tpu" or X.dtype != jnp.float64:
+            return self.to_dia().matmat(X)
+        # column-at-a-time through the kernel (lax.map: one compiled
+        # instance, k sequential calls) — the to_dia fallback would
+        # materialize a full f64 copy of the planes per call.
+        Y = _jax.lax.map(self.matvec, X.T)
+        return Y.T
 
     def rmatvec(self, x):
         return self.to_dia().rmatvec(x)

@@ -130,3 +130,33 @@ def test_embedded_complex_v0_realifies():
     eigs.init(v0)
     nconv = eigs.compute(st.SortRule.LargestMagn, maxit=500, tol=1e-11)
     assert nconv == k
+
+
+def test_embedded_largest_imag():
+    """LI selection through the embedding: the conjugate-closed Ritz
+    set of the real IRAM keeps both pair members, so phantom filtering
+    leaves exactly C's largest-imaginary eigenvalues — including when
+    every eigenvalue of C has negative imaginary part (the all-phantom
+    top case)."""
+    n, k = 60, 3
+    # asymmetric imaginary spectrum (shifted): LI on the embedding
+    # without the rotation would return largest |Im| instead
+    A = _rand_complex(n, 41) - 3.0j * np.eye(n)
+    op = RealEmbeddedGenMatProd.create(A)
+    eigs = st.GenEigsSolver(op, nev=k, ncv=28)
+    eigs.init()
+    nconv = eigs.compute(
+        st.SortRule.LargestImag, maxit=800, tol=1e-12,
+        sorting=st.SortRule.LargestImag,
+    )
+    assert nconv == k
+    vals = eigs.eigenvalues()
+    w = np.linalg.eigvals(A)
+    want = np.sort(w.imag)[::-1][:k]
+    np.testing.assert_allclose(
+        np.sort(vals.imag)[::-1], want, atol=1e-8
+    )
+    # each returned value is a TRUE eigenvalue of C (not a phantom
+    # conjugate: the conj spectrum's top-|Im| values differ from these)
+    dist = np.abs(vals[:, None] - w[None, :]).min(axis=1)
+    assert dist.max() < 1e-8
