@@ -353,6 +353,12 @@ def _bench_gen_sparse():
         "speedup": t_arpack / t_ours,
         "eval_agreement_vs_arpack": agree,
         "arpack_self_agreement": self_agree,
+        "eigenvalues": [[float(v.real), float(v.imag)] for v in vals],
+        "arpack_eigenvalues": [
+            [float(v.real), float(v.imag)] for v in np.asarray(w)
+        ]
+        if len(w)
+        else [],
         "agreement_note": "non-normal operator: eigenvalue condition "
         "numbers ~1e6 bound forward agreement near 1e-4 at backward "
         "error 1e-10 for EVERY solver (see arpack_self_agreement); "
@@ -437,6 +443,9 @@ def main():
     if fallback:
         # Accelerator runtime unreachable: still produce the metric on
         # CPU (flagged in the details) rather than hanging the driver.
+        # Propagate to the subprocess entries too — on a wedged worker
+        # each would otherwise hang for its whole timeout.
+        os.environ["SPECTRA_TPU_BENCH_FORCE_CPU"] = "1"
         import jax
 
         jax.config.update("jax_platforms", "cpu")

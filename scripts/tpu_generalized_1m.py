@@ -24,6 +24,16 @@ import scipy.sparse as sps
 
 sys.path.insert(0, "/root/repo")
 
+# Honor the parent benchmark's CPU fallback: a wedged remote worker
+# HANGS on first device touch, which must fail fast here instead of
+# eating this subprocess's whole timeout.
+import os as _os
+
+if _os.environ.get("SPECTRA_TPU_BENCH_FORCE_CPU"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
+
 import spectra_tpu as st  # noqa: E402
 from spectra_tpu.util.rng import SimpleRandom  # noqa: E402
 
