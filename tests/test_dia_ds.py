@@ -169,3 +169,26 @@ def test_native_and_scipy_dia_conversion_identical(monkeypatch):
     d2 = formats.dia_from_scipy(A)
     assert d1.offsets == d2.offsets
     np.testing.assert_array_equal(np.asarray(d1.data), np.asarray(d2.data))
+
+
+def test_kernel_interpret_3d_stencil_shape():
+    """The production shape class: 7-diagonal 3-D stencil offsets
+    (+-1, +-g, +-g^2) with multi-chunk grids and hi/lo data planes
+    that are NOT exactly representable in f32."""
+    g = 7
+    n = g**3
+    chunk = 128
+    offsets = (-(g * g), -g, -1, 0, 1, g, g * g)
+    data = _random_dia(n, offsets, seed=11) * np.pi  # non-dyadic values
+    x = np.random.default_rng(12).standard_normal(n)
+    n_pad = (n + chunk - 1) // chunk * chunk
+    dh, dl = split_f64(
+        jnp.pad(jnp.asarray(data), ((0, 0), (0, n_pad - n)))
+    )
+    xh, xl = split_f64(jnp.asarray(x))
+    yh, yl = dia_spmv_ds_padded(
+        dh, dl, xh, xl, offsets=offsets, n=n, chunk=chunk, interpret=True
+    )
+    y = np.asarray(combine_f64(yh, yl))
+    y_ref = _ref_spmv(data, offsets, x)
+    assert np.abs(y - y_ref).max() <= 1e-12 * np.abs(y_ref).max()
