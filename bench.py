@@ -662,9 +662,9 @@ def main():
             raise RuntimeError(
                 f"no result line; stderr tail: {out.stderr[-500:]}"
             )
-        details["mixed_precision_1M_k10"] = rec
+        details["mixed_precision_250k_k10"] = rec
     except Exception as err:
-        _keep_stale("mixed_precision_1M_k10", err)
+        _keep_stale("mixed_precision_250k_k10", err)
     _flush()
 
 

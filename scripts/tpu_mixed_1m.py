@@ -80,4 +80,8 @@ def main(n=1_000_000, k=10):
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000)
+    # Default 250k: the 1M f32 twin solve crashed the remote worker
+    # once ("kernel fault"; recovery took hours) — the same measured
+    # worker ceiling the Davidson entry documents. Pass n explicitly
+    # to probe larger sizes on robust runtimes.
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 250_000)
