@@ -73,8 +73,6 @@ def test_mixed_gate_rejects_unresolvable_cluster():
     n, k = 4000, 3
     d = np.ones(n)
     d[-k:] = 2.0 + 1e-8 * np.arange(k)  # gaps ~5e-9 relative
-    rng = np.random.default_rng(3)
-    Q, _ = np.linalg.qr(rng.normal(size=(60, 60)))
     A = sps.diags(d).tocsr()
     s = st.SymEigsSolver(
         st.SparseSymMatProd.from_full(A), nev=k, ncv=12
