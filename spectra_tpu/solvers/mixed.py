@@ -86,7 +86,7 @@ def _refine_rounds(op, U, selection, sorting, max_rounds=3,
 
     k = U.shape[1]
     prev = np.inf
-    theta = resid = AU = None
+    best = None  # (theta, U, resid, worst) of the best round seen
     for _ in range(max_rounds):
         W = np.asarray(op.perform_op(jnp.asarray(U)))
         Q, _ = np.linalg.qr(np.concatenate([U, W], axis=1))
@@ -103,10 +103,12 @@ def _refine_rounds(op, U, selection, sorting, max_rounds=3,
         resid = np.linalg.norm(AU - U * theta[None, :], axis=0)
         worst = float(resid.max()) if len(resid) else 0.0
         scale = float(np.abs(theta).max()) if len(theta) else 1.0
+        if best is None or worst < best[3]:
+            best = (theta, U, resid, worst)
         if worst <= rtol_stop * scale or worst > 0.5 * prev:
             break
         prev = worst
-    return theta, U, resid
+    return best[0], best[1], best[2]
 
 
 def compute_mixed(solver, selection, maxit, tol, sorting) -> int:
