@@ -95,17 +95,61 @@ def dia_spmv_ds_padded(
 
     Returns renormalized (yh, yl), length n.
     """
+    lo = max(0, -min(offsets))
+    hi = max(0, max(offsets))
+    span = lo + hi
+    n_pad = dhp.shape[1]
+    assert n_pad == _round_up(n, chunk)
+    win = _round_up(chunk + span, 1024)
+    pad_x = (lo, (n_pad - n) + (win - chunk))
+    xhp = jnp.pad(xh, pad_x)
+    xlp = jnp.pad(xl, pad_x)
+    yh, yl = _ds_pallas(
+        dhp, dlp, xhp, xlp, offsets=offsets, chunk=chunk, interpret=interpret
+    )
+    return yh[:n], yl[:n]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("offsets", "n", "chunk", "interpret")
+)
+def dia_spmv_ds_ext(
+    dhp, dlp, xh_ext, xl_ext, *, offsets, n, chunk=DEFAULT_CHUNK,
+    interpret=False,
+):
+    """Variant of :func:`dia_spmv_ds_padded` for halo-extended x:
+    ``xh_ext``/``xl_ext`` have length ``lo + n + hi``, the leading
+    ``lo`` and trailing ``hi`` entries being the neighbor halos (the
+    row-sharded stencil path exchanges them via ppermute before the
+    kernel — see ``parallel/stencil_spmv.py``). The halo slots replace
+    the zero-pad of the single-chip entry point; everything else is
+    the same fused one-pass kernel."""
+    lo = max(0, -min(offsets))
+    hi = max(0, max(offsets))
+    span = lo + hi
+    n_pad = dhp.shape[1]
+    assert n_pad == _round_up(n, chunk)
+    win = _round_up(chunk + span, 1024)
+    # win - chunk >= span >= hi, so the trailing pad is never negative.
+    trail = (n_pad - n) + (win - chunk) - hi
+    xhp = jnp.pad(xh_ext, (0, trail))
+    xlp = jnp.pad(xl_ext, (0, trail))
+    yh, yl = _ds_pallas(
+        dhp, dlp, xhp, xlp, offsets=offsets, chunk=chunk, interpret=interpret
+    )
+    return yh[:n], yl[:n]
+
+
+def _ds_pallas(dhp, dlp, xhp, xlp, *, offsets, chunk, interpret):
+    """The fused kernel on fully-padded operands: data planes
+    (d, n_pad), x planes of length ``lo + n_pad + (win - chunk)``.
+    Returns padded (yh, yl) of length n_pad."""
     d, n_pad = dhp.shape
     lo = max(0, -min(offsets))
     hi = max(0, max(offsets))
     span = lo + hi
-    assert n_pad == _round_up(n, chunk)
     grid = (n_pad // chunk,)
     win = _round_up(chunk + span, 1024)
-
-    pad_x = (lo, (n_pad - n) + (win - chunk))
-    xhp = jnp.pad(xh, pad_x)
-    xlp = jnp.pad(xl, pad_x)
 
     def kernel(xh_ref, xl_ref, dh_ref, dl_ref, yh_ref, yl_ref):
         xw = xh_ref[:]
@@ -168,7 +212,7 @@ def dia_spmv_ds_padded(
         ),
         interpret=interpret,
     )(xhp, xlp, dhp, dlp)
-    return yh[:n], yl[:n]
+    return yh, yl
 
 
 #: scoped-VMEM budget for the kernel working set (the TPU compiler's

@@ -25,7 +25,9 @@ from spectra_tpu.parallel.mesh import (
     shard_problem,
 )
 from spectra_tpu.parallel.stencil_spmv import (
+    ShardedStencilHiLoMatProd,
     ShardedStencilMatProd,
+    sharded_stencil_op,
     sharded_stencil_shift_solve,
 )
 from spectra_tpu.parallel.halo_spmv import (
@@ -41,7 +43,9 @@ __all__ = [
     "replicated",
     "shard_operator",
     "shard_problem",
+    "ShardedStencilHiLoMatProd",
     "ShardedStencilMatProd",
+    "sharded_stencil_op",
     "sharded_stencil_shift_solve",
     "ShardedEllMatProd",
     "HaloPlan",

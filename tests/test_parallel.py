@@ -459,3 +459,98 @@ def test_sharded_compute_locked_continuation():
     dist = np.abs(got[:, None] - w_all[None, :]).min(axis=1)
     assert dist.max() < 1e-8
     np.testing.assert_allclose(got[:2], w_all[:2], atol=1e-8)
+
+
+@requires_multidevice
+class TestHaloStencilHiLoSpMV:
+    """Row-sharded stencil SpMV through the fused double-single hi/lo
+    Pallas kernel (parallel/stencil_spmv.py::ShardedStencilHiLoMatProd)
+    — the multi-chip composition of the 100M-nnz HBM path (interpret
+    mode on the CPU mesh; on TPU the same shard_map lowers the real
+    Mosaic kernel per shard)."""
+
+    def test_matvec_block_diag_exact(self):
+        from spectra_tpu.sparse import dia_from_scipy
+        from spectra_tpu.parallel import ShardedStencilHiLoMatProd
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        g = 16
+        A = _laplacian_2d(g)
+        dia = dia_from_scipy(A)
+        mesh = row_mesh(8)
+        op = ShardedStencilHiLoMatProd.create(dia, mesh, chunk=32)
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=g * g)
+        xs = jax.device_put(
+            jax.numpy.asarray(x), NamedSharding(mesh, P("rows"))
+        )
+        y = np.asarray(jax.jit(op.perform_op)(xs))
+        np.testing.assert_allclose(y, A @ x, atol=1e-12)
+        # chained applications (the solver's usage pattern)
+        y2 = np.asarray(
+            jax.jit(lambda v: op.perform_op(op.perform_op(v)))(xs)
+        )
+        np.testing.assert_allclose(y2, A @ (A @ x), atol=1e-11)
+        # block products (Davidson/LOBPCG seam)
+        X = rng.normal(size=(g * g, 3))
+        Xs = jax.device_put(
+            jax.numpy.asarray(X), NamedSharding(mesh, P("rows", None))
+        )
+        Y = np.asarray(jax.jit(op.perform_op)(Xs))
+        np.testing.assert_allclose(Y, A @ X, atol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(op.diagonal()), A.diagonal(), atol=0
+        )
+
+    def test_solver_through_kernel_matches_dense(self):
+        from spectra_tpu.sparse import dia_from_scipy
+        from spectra_tpu.parallel import ShardedStencilHiLoMatProd
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        g = 16
+        A = _laplacian_2d(g)
+        mesh = row_mesh(8)
+        op = ShardedStencilHiLoMatProd.create(
+            dia_from_scipy(A), mesh, chunk=32
+        )
+        eigs = st.SymEigsSolver(op, 4, 12)
+        v0 = SimpleRandom(0).random_vec(g * g)
+        eigs.init(
+            jax.device_put(
+                jax.numpy.asarray(v0), NamedSharding(mesh, P("rows"))
+            )
+        )
+        nconv = eigs.compute()
+        assert nconv >= 4
+        got = np.sort(np.asarray(eigs.eigenvalues()))
+        w = np.sort(np.linalg.eigvalsh(A.toarray()))
+        # The Laplacian's top cluster carries doubled eigenvalues, so
+        # plain Lanczos may return either member; validate the sharded
+        # compute: every value is a true eigenvalue, and the strictly
+        # separated top-2 distinct values are present.
+        dist = np.abs(got[:, None] - w[None, :]).min(axis=1)
+        assert dist.max() < 1e-10
+        distinct = np.unique(np.round(w, 9))
+        np.testing.assert_allclose(got[-2:], distinct[-2:], atol=1e-10)
+
+    def test_auto_routing_policy(self):
+        """sharded_stencil_op: hilo=True forces the kernel class; the
+        CPU backend's "auto" stays on the exact-f64 stencil path."""
+        from spectra_tpu.sparse import dia_from_scipy
+        from spectra_tpu.parallel import (
+            ShardedStencilHiLoMatProd,
+            ShardedStencilMatProd,
+            sharded_stencil_op,
+        )
+
+        g = 16
+        dia = dia_from_scipy(_laplacian_2d(g))
+        mesh = row_mesh(8)
+        assert isinstance(
+            sharded_stencil_op(dia, mesh, hilo="auto"),
+            ShardedStencilMatProd,
+        )
+        assert isinstance(
+            sharded_stencil_op(dia, mesh, hilo=True),
+            ShardedStencilHiLoMatProd,
+        )
