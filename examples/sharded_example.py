@@ -44,6 +44,27 @@ def main():
     print("info:", eigs.info())
     print("eigenvalues:", eigs.eigenvalues())
 
+    # --- explicit halo-exchange stencil operator -------------------
+    # For banded matrices, sharded_stencil_op moves only O(halo)
+    # boundary rows per SpMV (two ppermutes) instead of GSPMD's
+    # all-gather, and at HBM-resident f64 scale on TPU it auto-routes
+    # each shard's multiply through the fused double-single Pallas
+    # kernel (ops/dia_ds.py). hilo=True forces the kernel path (it
+    # runs in interpret mode on CPU meshes).
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from spectra_tpu.parallel import sharded_stencil_op
+    from spectra_tpu.sparse import dia_from_scipy
+
+    halo_op = sharded_stencil_op(dia_from_scipy(A), mesh, hilo=True)
+    v0_h = jax.device_put(
+        jax.numpy.asarray(v0), NamedSharding(mesh, P("rows"))
+    )
+    eigs2 = st.SymEigsSolver(halo_op, nev=5, ncv=20)
+    eigs2.init(v0_h)
+    eigs2.compute(st.SortRule.LargestMagn)
+    print("halo/hi-lo kernel eigenvalues:", eigs2.eigenvalues())
+
 
 if __name__ == "__main__":
     main()
