@@ -510,6 +510,18 @@ def main():
     except Exception:
         prior = {}
 
+    # Seed every prior per-config block (marked stale) BEFORE the
+    # sequence starts: the file is flushed progressively, so a run
+    # killed midway (driver timeout, worker crash) must degrade each
+    # not-yet-reached entry to "stale", never erase it.
+    for key, old in prior.items():
+        if (
+            key not in details
+            and isinstance(old, dict)
+            and "error" not in old
+        ):
+            details[key] = {**old, "stale_from_previous_run": True}
+
     def _keep_stale(key, err):
         """A failed/skipped case must not silently erase the last
         measured result: keep the prior block, marked stale, with this
