@@ -232,6 +232,69 @@ def make_stencil_matvec_hilo(
     )
 
 
+@functools.lru_cache(maxsize=64)
+def make_stencil_matmat_hilo(
+    mesh: Mesh,
+    offsets: tuple,
+    axis: str,
+    rows_per: int,
+    chunk: int,
+    interpret: bool,
+):
+    """Block version of :func:`make_stencil_matvec_hilo`: ONE halo
+    exchange for all k columns (the (halo, k) boundary blocks ride a
+    single ppermute pair, like the plain stencil path's blocked mode),
+    then the fused vector kernel runs per column inside the shard
+    (``lax.map``: one compiled instance, k sequential fused passes —
+    the Davidson/LOBPCG block-product seam)."""
+    offsets = tuple(offsets)
+    lo = max(0, -min(offsets))
+    hi = max(0, max(offsets))
+    n_dev = mesh.shape[axis]
+
+    from spectra_tpu.ops.dia_ds import (
+        combine_f64,
+        dia_spmv_ds_ext,
+        split_f64,
+    )
+
+    def local_fn(dh_loc, dl_loc, X_loc):
+        k = X_loc.shape[1]
+        left = jnp.zeros((lo, k), X_loc.dtype)
+        right = jnp.zeros((hi, k), X_loc.dtype)
+        if n_dev > 1 and lo > 0:
+            perm = [(i, i + 1) for i in range(n_dev - 1)]
+            left = jax.lax.ppermute(X_loc[rows_per - lo :], axis, perm)
+        if n_dev > 1 and hi > 0:
+            perm = [(i + 1, i) for i in range(n_dev - 1)]
+            right = jax.lax.ppermute(X_loc[:hi], axis, perm)
+        X_ext = jnp.concatenate([left, X_loc, right], axis=0)
+
+        def col(x_ext):
+            xh, xl = split_f64(x_ext)
+            yh, yl = dia_spmv_ds_ext(
+                dh_loc,
+                dl_loc,
+                xh,
+                xl,
+                offsets=offsets,
+                n=rows_per,
+                chunk=chunk,
+                interpret=interpret,
+            )
+            return combine_f64(yh, yl)
+
+        return jax.lax.map(col, X_ext.T).T
+
+    return jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(None, axis), P(None, axis), P(axis, None)),
+        out_specs=P(axis, None),
+        check_vma=False,
+    )
+
+
 @pytree_dataclass(
     meta_fields=("offsets", "n_rows", "mesh", "axis", "chunk", "rows_per")
 )
@@ -342,7 +405,12 @@ class ShardedStencilHiLoMatProd:
         return self.mesh.devices.flat[0].platform != "tpu"
 
     def perform_op(self, x):
-        mv = make_stencil_matvec_hilo(
+        maker = (
+            make_stencil_matmat_hilo
+            if x.ndim == 2
+            else make_stencil_matvec_hilo
+        )
+        mv = maker(
             self.mesh,
             tuple(self.offsets),
             self.axis,
@@ -350,12 +418,6 @@ class ShardedStencilHiLoMatProd:
             self.chunk,
             self._interpret(),
         )
-        if x.ndim == 2:
-            # Column-at-a-time through the kernel (one compiled
-            # instance, k sequential fused passes + halo exchanges).
-            return jax.lax.map(
-                lambda col: mv(self.data_hi, self.data_lo, col), x.T
-            ).T
         return mv(self.data_hi, self.data_lo, x)
 
     matvec = perform_op
